@@ -1,0 +1,456 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s.DefaultFormats
+import org.json4s.jackson.Serialization
+
+import graft.model.Model
+import graft.operators.{Lww, Skew}
+
+/** "icelite": a minimal snapshot-transactional table format over parquet.
+  *
+  * No Iceberg/Delta runtime is resolvable in this sandbox (offline coursier),
+  * so we implement the subset of Iceberg semantics the engine actually needs
+  * (SURVEY.md §7.0): atomic snapshot commits (versioned metadata JSON +
+  * manifest of data files), snapshot ids + time travel, merge-on-read deltas
+  * with copy-on-write compaction, schema evolution (add-column / type-widen)
+  * and idempotent commits keyed by (writerId, batchId) — the analogue of the
+  * reference's at-least-once read + idempotent REPLACE/ON-DUPLICATE-KEY write
+  * (`plugin-rdbms-util/.../writer/WriterUtil.java:113-196`) upgraded to true
+  * exactly-once.
+  *
+  * Layout:
+  * {{{
+  *   <root>/_icelite/v0000000042.json       // snapshot metadata (atomic unit)
+  *   <root>/data/d-<snap>/bkt=<k>/part-*.parquet   // delta files (LWW'd batch)
+  *   <root>/data/b-<snap>/bkt=<k>/part-*.parquet   // base files (compacted)
+  * }}}
+  *
+  * Data files are hash-bucketed by `conv_id` (`pmod(hash(conv_id), buckets)`)
+  * so a merge touches only the buckets its keys map to; the manifest records
+  * per-file bucket + row count + seq range, so reads plan from metadata
+  * (the Iceberg manifest-pruning trick) rather than directory listing. Rows
+  * carry lineage `(_event_ts, _seq, _deleted)`; deletes are tombstones so a
+  * late event older than a delete cannot resurrect a row.
+  *
+  * Scale notes (100 TB / 10^10 events):
+  *  - merge never reads unaffected buckets; delta append is O(batch);
+  *  - compaction cost is bounded per bucket and amortized by the threshold;
+  *  - the LWW reduction is an aggregation (map-side combine) so hot keys
+  *    collapse before the shuffle; hot buckets are salted at write
+  *    ([[graft.operators.Skew.saltByBucket]]);
+  *  - the JSON manifest is the one piece that would move to an Avro/parquet
+  *    manifest-list above ~10^5 files — interface kept narrow for that swap.
+  */
+object Icelite {
+
+  case class DataFileMeta(
+      path: String, // relative to table root
+      bucket: Int,
+      kind: String, // "base" | "delta"
+      rows: Long,
+      schemaId: Int,
+      minSeq: Long,
+      maxSeq: Long)
+
+  case class SnapshotMeta(
+      snapshotId: Long,
+      parentId: Long,
+      writerId: String,
+      lastBatchId: Long,
+      buckets: Int,
+      schemas: List[String], // StructType.json per schemaId (full file schema)
+      currentSchemaId: Int,
+      files: List[DataFileMeta],
+      summary: Map[String, String],
+      committedAtMs: Long)
+
+  case class MergeStats(
+      snapshotId: Long,
+      batchId: Long,
+      skipped: Boolean,
+      inputRows: Long,
+      upserts: Long,
+      deletes: Long,
+      bucketsTouched: Int,
+      bucketsCompacted: Int,
+      wallMs: Long)
+
+  case class Options(
+      /** compact a bucket when its delta-file count would exceed this;
+        * 0 = always compact = classic copy-on-write MERGE. */
+      compactThreshold: Int = 8,
+      /** salting target: max rows a single write task should own. */
+      targetRowsPerTask: Long = 2000000L,
+      /** drop tombstones when compacting (only safe once no event older
+        * than the delete can still arrive — a watermark decision). */
+      dropTombstonesOnCompact: Boolean = false)
+
+  private implicit val fmts: DefaultFormats = DefaultFormats
+  private[plans] val BucketCol = "bkt"
+
+  // ---------------------------------------------------------------- create/load
+
+  /** Create an empty table. `payloadSchema` = public columns incl. keys. */
+  def create(spark: SparkSession, root: String, payloadSchema: StructType,
+      buckets: Int): IceliteTable = {
+    require(Model.keyCols.forall(k => payloadSchema.fieldNames.contains(k)),
+      s"payload schema must contain key columns ${Model.keyCols}")
+    val full = withLineage(payloadSchema)
+    Files.createDirectories(Paths.get(root, "_icelite"))
+    Files.createDirectories(Paths.get(root, "data"))
+    val snap = SnapshotMeta(0L, -1L, "", -1L, buckets, List(full.json), 0,
+      Nil, Map("created" -> "true"), System.currentTimeMillis())
+    writeSnapshot(root, snap)
+    new IceliteTable(spark, root)
+  }
+
+  def load(spark: SparkSession, root: String): IceliteTable = new IceliteTable(spark, root)
+
+  def exists(root: String): Boolean =
+    Files.isDirectory(Paths.get(root, "_icelite")) && latestVersion(root).isDefined
+
+  // ---------------------------------------------------------------- metadata io
+
+  private def versionFile(root: String, id: Long) =
+    Paths.get(root, "_icelite", f"v$id%010d.json")
+
+  private[plans] def latestVersion(root: String): Option[Long] = {
+    val dir = Paths.get(root, "_icelite")
+    if (!Files.isDirectory(dir)) return None
+    val it = Files.list(dir)
+    try {
+      val vs = it.iterator()
+      var max = -1L
+      while (vs.hasNext) {
+        val n = vs.next().getFileName.toString
+        if (n.startsWith("v") && n.endsWith(".json"))
+          Try(n.stripPrefix("v").stripSuffix(".json").toLong).foreach(v => max = math.max(max, v))
+      }
+      if (max >= 0) Some(max) else None
+    } finally it.close()
+  }
+
+  private[plans] def readSnapshot(root: String, id: Long): SnapshotMeta =
+    Serialization.read[SnapshotMeta](new String(
+      Files.readAllBytes(versionFile(root, id)), java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Atomic commit: write tmp, hard-link to the final name (fails if the
+    * version already exists — optimistic concurrency), drop tmp. The link
+    * creation is the single atomic step; data files written before it are
+    * invisible orphans if we crash first (crash-safe).
+    */
+  private[plans] def writeSnapshot(root: String, snap: SnapshotMeta): Unit = {
+    val target = versionFile(root, snap.snapshotId)
+    val tmp = Paths.get(root, "_icelite",
+      s".tmp-${snap.snapshotId}-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, Serialization.write(snap).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      try Files.createLink(target, tmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          // fs without hard links: best-effort fallback
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"commit conflict: snapshot ${snap.snapshotId} already exists at $root", e)
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  // ---------------------------------------------------------------- schema
+
+  private[plans] def withLineage(payload: StructType): StructType =
+    StructType(payload.fields.toSeq ++ Seq(
+      StructField("_event_ts", TimestampType, nullable = false),
+      StructField("_seq", LongType, nullable = false),
+      StructField("_deleted", BooleanType, nullable = false)))
+
+  private[plans] def payloadPart(full: StructType): StructType =
+    StructType(full.fields.filterNot(f => Model.lineageCols.contains(f.name)))
+
+  /** Is `from -> to` a lossless widening? (the reference has no schema
+    * evolution at all — writer errors on column-count mismatch,
+    * `CommonRdbmsWriter.java:290-300`; the north rule requires add-column +
+    * type-widen, which we do Iceberg-style: metadata change now, cast at
+    * read/merge time.)
+    */
+  def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  /** Unify table payload schema with an incoming batch payload schema:
+    * widen shared columns, append new ones (nullable). Narrowing or
+    * incompatible changes are rejected.
+    */
+  def evolve(table: StructType, batch: StructType): StructType = {
+    val evolved = table.fields.map { tf =>
+      batch.fields.find(_.name == tf.name) match {
+        case None => tf
+        case Some(bf) if canWiden(bf.dataType, tf.dataType) => tf
+        case Some(bf) if canWiden(tf.dataType, bf.dataType) =>
+          require(!Model.keyCols.contains(tf.name),
+            s"key column ${tf.name} type may not change")
+          tf.copy(dataType = bf.dataType)
+        case Some(bf) =>
+          throw new IllegalArgumentException(
+            s"incompatible schema change for ${tf.name}: ${tf.dataType} -> ${bf.dataType}")
+      }
+    }
+    val added = batch.fields.filterNot(bf => table.fieldNames.contains(bf.name))
+      .map(_.copy(nullable = true))
+    StructType(evolved.toSeq ++ added.toSeq)
+  }
+
+  /** Project/cast `df` onto `target` — missing columns become nulls,
+    * present ones are cast (upcast only, by construction). */
+  private[plans] def align(df: DataFrame, target: StructType): DataFrame = {
+    val cols = target.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+}
+
+/** Handle to an icelite table. Single-writer (commit conflicts throw). */
+class IceliteTable(val spark: SparkSession, val root: String) {
+  import Icelite._
+
+  def snapshot(): SnapshotMeta = {
+    val v = latestVersion(root).getOrElse(
+      throw new IllegalStateException(s"not an icelite table: $root"))
+    readSnapshot(root, v)
+  }
+
+  def snapshotAt(id: Long): SnapshotMeta = readSnapshot(root, id) // time travel
+
+  def currentSchema(): StructType =
+    DataType.fromJson(snapshot().schemas(snapshot().currentSchemaId)).asInstanceOf[StructType]
+
+  private def schemaFor(snap: SnapshotMeta, id: Int): StructType =
+    DataType.fromJson(snap.schemas(id)).asInstanceOf[StructType]
+
+  private def bucketExpr = pmod(hash(col("conv_id")), lit(snapshot().buckets))
+
+  // ---------------------------------------------------------------- read
+
+  /** Read raw rows (payload + lineage, incl. tombstones) from a snapshot.
+    * Buckets that consist of a single compacted generation (base files only)
+    * are emitted as-is — they were LWW'd at write time, so no shuffle; only
+    * buckets carrying deltas pay the LWW aggregation. At scale this is the
+    * difference between "read = scan" and "read = scan + full-table shuffle".
+    */
+  def readRaw(snapOpt: Option[SnapshotMeta] = None): DataFrame = {
+    val snap = snapOpt.getOrElse(snapshot())
+    val cur = schemaFor(snap, snap.currentSchemaId)
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), cur)
+    val deltaBuckets = snap.files.filter(_.kind == "delta").map(_.bucket).toSet
+    val (mixed, baseOnly) = snap.files.partition(f => deltaBuckets.contains(f.bucket))
+    def readGroup(files: Seq[DataFileMeta]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(files.groupBy(_.schemaId).map { case (sid, fs) =>
+        val df = spark.read.schema(schemaFor(snap, sid))
+          .parquet(fs.map(f => s"$root/${f.path}"): _*)
+        align(df, cur)
+      }.reduce(_.unionByName(_)))
+    val basePart = readGroup(baseOnly)
+    val mixedPart = readGroup(mixed)
+      .map(df => Lww.latest(df, Model.keyCols, Seq("_event_ts", "_seq")))
+    (basePart, mixedPart) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), cur)
+    }
+  }
+
+  /** Public read: live rows, public columns only. */
+  def read(): DataFrame = {
+    val cur = snapshot()
+    val payload = payloadPart(schemaFor(cur, cur.currentSchemaId))
+    readRaw(Some(cur)).filter(!col("_deleted"))
+      .select(payload.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Point lookup with manifest bucket pruning: reads only the files of
+    * `hash(convId) % buckets` — the engine-side analogue of partition
+    * pruning (reference: splitPk range pruning, `SingleTableSplitUtil.java`).
+    */
+  def lookup(convId: String): DataFrame = {
+    val snap = snapshot()
+    val b = spark.range(1)
+      .select(pmod(hash(lit(convId)), lit(snap.buckets)).as("b")).head().getInt(0)
+    val files = snap.files.filter(_.bucket == b)
+    val cur = schemaFor(snap, snap.currentSchemaId)
+    val payload = payloadPart(cur)
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), payload)
+    val df = files.groupBy(_.schemaId).map { case (sid, fs) =>
+      align(spark.read.schema(schemaFor(snap, sid))
+        .parquet(fs.map(f => s"$root/${f.path}"): _*), cur)
+    }.reduce(_.unionByName(_))
+    val needLww = files.exists(_.kind == "delta")
+    val resolved = if (needLww) Lww.latest(df, Model.keyCols, Seq("_event_ts", "_seq")) else df
+    resolved.filter(col("conv_id") === convId && !col("_deleted"))
+      .select(payload.fieldNames.map(col).toSeq: _*)
+  }
+
+  // ---------------------------------------------------------------- merge
+
+  /** Apply one change batch (op/key/payload/event_ts/seq rows) exactly once.
+    *
+    * Pipeline: idempotence gate → schema evolve → LWW dedup (aggregation,
+    * map-side combine) → bucket → append deltas for cool buckets / compact
+    * hot ones (read base+deltas of ONLY those buckets, union, LWW, rewrite)
+    * → atomic snapshot commit carrying (writerId, batchId).
+    */
+  def merge(batchIn: DataFrame, batchId: Long, writerId: String,
+      opts: Options = Options()): MergeStats = {
+    val t0 = System.nanoTime()
+    val snap = snapshot()
+    if (writerId == snap.writerId && batchId <= snap.lastBatchId)
+      return MergeStats(snap.snapshotId, batchId, skipped = true, 0, 0, 0, 0, 0, 0)
+
+    val curFull = schemaFor(snap, snap.currentSchemaId)
+    val curPayload = payloadPart(curFull)
+
+    // columns of the batch that are payload (everything but op/ordering/internal)
+    val reserved = Set("op", "event_ts", "seq")
+    val batchPayload = StructType(batchIn.schema.fields.filterNot(f =>
+      reserved.contains(f.name) || f.name.startsWith("_") || f.name == BucketCol))
+    val newPayload = evolve(curPayload, batchPayload)
+    val newFull = withLineage(newPayload)
+    val schemaChanged = newFull.json != curFull.json
+    val schemas = if (schemaChanged) snap.schemas :+ newFull.json else snap.schemas
+    val schemaId = if (schemaChanged) schemas.size - 1 else snap.currentSchemaId
+
+    // LWW-dedup the batch per key, then normalize to table row shape
+    val deduped = Lww.latest(batchIn, Model.keyCols, Seq("event_ts", "seq"))
+    val norm = align(
+      deduped
+        .withColumn("_event_ts", col("event_ts"))
+        .withColumn("_seq", col("seq"))
+        .withColumn("_deleted", col("op") === lit("D")),
+      newFull)
+    val withB = norm.withColumn(BucketCol, pmod(hash(col("conv_id")), lit(snap.buckets)))
+
+    // one small aggregate: per-bucket row counts + seq ranges + delete counts
+    val stats = withB.groupBy(col(BucketCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("_deleted").cast("long")).as("d"),
+      min(col("_seq")).as("lo"),
+      max(col("_seq")).as("hi")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    if (stats.isEmpty) { // empty batch: metadata-only commit advances the gate
+      val next = snap.copy(snapshotId = snap.snapshotId + 1, parentId = snap.snapshotId,
+        writerId = writerId, lastBatchId = batchId, schemas = schemas,
+        currentSchemaId = schemaId, committedAtMs = System.currentTimeMillis())
+      writeSnapshot(root, next)
+      return MergeStats(next.snapshotId, batchId, skipped = false, 0, 0, 0, 0, 0,
+        (System.nanoTime() - t0) / 1000000)
+    }
+
+    val affected = stats.keySet
+    val deltaCount: Map[Int, Int] = snap.files.filter(_.kind == "delta")
+      .groupBy(_.bucket).map { case (b, fs) => b -> fs.size }
+    val compactSet =
+      if (opts.compactThreshold <= 0) affected
+      else affected.filter(b => deltaCount.getOrElse(b, 0) + 1 > opts.compactThreshold)
+    val deltaSet = affected -- compactSet
+    val nextId = snap.snapshotId + 1
+    var newFiles = List.empty[DataFileMeta]
+
+    if (deltaSet.nonEmpty) {
+      val rel = s"data/d-$nextId"
+      val part = withB.filter(col(BucketCol).isInCollection(deltaSet))
+      writeBucketed(part, s"$root/$rel", opts)
+      newFiles ++= listStaged(rel, "delta", schemaId, stats)
+    }
+    if (compactSet.nonEmpty) {
+      val rel = s"data/b-$nextId"
+      val oldFiles = snap.files.filter(f => compactSet.contains(f.bucket))
+      val old = if (oldFiles.isEmpty) None else Some(
+        oldFiles.groupBy(_.schemaId).map { case (sid, fs) =>
+          align(spark.read.schema(schemaFor(snap, sid))
+            .parquet(fs.map(f => s"$root/${f.path}"): _*), newFull)
+        }.reduce(_.unionByName(_))
+          .withColumn(BucketCol, pmod(hash(col("conv_id")), lit(snap.buckets))))
+      val incoming = withB.filter(col(BucketCol).isInCollection(compactSet))
+      val combined = old.map(_.unionByName(incoming)).getOrElse(incoming)
+      val resolved0 = Lww.latest(combined, Model.keyCols, Seq("_event_ts", "_seq"))
+      val resolved = if (opts.dropTombstonesOnCompact) resolved0.filter(!col("_deleted"))
+        else resolved0
+      writeBucketed(resolved, s"$root/$rel", opts)
+      newFiles ++= listStaged(rel, "base", schemaId, stats)
+    }
+
+    val kept = snap.files.filterNot(f => compactSet.contains(f.bucket))
+    val nRows = stats.values.map(_._1).sum
+    val nDel = stats.values.map(_._2).sum
+    val next = SnapshotMeta(nextId, snap.snapshotId, writerId, batchId, snap.buckets,
+      schemas, schemaId, kept ++ newFiles,
+      Map("batch.rows" -> nRows.toString, "batch.deletes" -> nDel.toString,
+        "buckets.touched" -> affected.size.toString,
+        "buckets.compacted" -> compactSet.size.toString),
+      System.currentTimeMillis())
+    writeSnapshot(root, next)
+    MergeStats(nextId, batchId, skipped = false, nRows, nRows - nDel, nDel,
+      affected.size, compactSet.size, (System.nanoTime() - t0) / 1000000)
+  }
+
+  /** Salted bucketed write: hot buckets fan out over several tasks
+    * ([[Skew.saltByBucket]]); `partitionBy(bkt)` lays files per bucket. */
+  private def writeBucketed(df: DataFrame, absDir: String, opts: Options): Unit = {
+    val salted = Skew.saltByBucket(df, BucketCol, opts.targetRowsPerTask, Seq("_seq"))
+    salted
+      .repartition(col(BucketCol), col("_salt"))
+      .drop("_salt", "_cnt")
+      .write.partitionBy(BucketCol).parquet(absDir)
+  }
+
+  /** Enumerate files under a staged write dir into manifest entries. */
+  private def listStaged(relDir: String, kind: String, schemaId: Int,
+      stats: Map[Int, (Long, Long, Long, Long)]): List[DataFileMeta] = {
+    val base = Paths.get(root, relDir)
+    val out = scala.collection.mutable.ListBuffer.empty[DataFileMeta]
+    val dirs = Files.list(base)
+    try {
+      dirs.iterator().forEachRemaining { d =>
+        val name = d.getFileName.toString
+        if (name.startsWith(s"$BucketCol=")) {
+          val b = name.stripPrefix(s"$BucketCol=").toInt
+          val (_, _, lo, hi) = stats.getOrElse(b, (0L, 0L, -1L, -1L))
+          val fs = Files.list(d)
+          try fs.iterator().forEachRemaining { f =>
+            val fn = f.getFileName.toString
+            if (fn.endsWith(".parquet"))
+              out += DataFileMeta(s"$relDir/$name/$fn", b, kind,
+                parquetRowCount(f.toString), schemaId, lo, hi)
+          } finally fs.close()
+        }
+      }
+    } finally dirs.close()
+    out.toList
+  }
+
+  private def parquetRowCount(path: String): Long =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } catch { case _: Throwable => -1L }
+}

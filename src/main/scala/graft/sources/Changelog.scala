@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamReader
+import org.apache.spark.sql.types._
+
+import graft.model.Model
+
+/** The transcript change stream (binlog/WAL) — derivation + segment layout.
+  *
+  * The changelog is derived *deterministically* from the driver-provided
+  * `events` table with expressions restricted to the Spark∩DuckDB SQL
+  * dialect, so the exact same text serves as (a) the engine's input on the
+  * Spark side and (b) the DuckDB oracle's input — making the entire
+  * pipeline (dedup → merge → snapshot table) checkable end-to-end against
+  * a declarative oracle. This mirrors the reference's synthetic fixture
+  * (streamreader const/random column generator feeding streamwriter,
+  * `/root/reference/streamreader/.../StreamReader.java:95-167`,
+  * `core/src/main/job/job.json`) but seedless-deterministic.
+  *
+  * Key properties baked in:
+  *  - ~3 hot conversations absorb ~30% of events (Zipf-ish skew → exercises
+  *    salting, like the reference's splitPk hot-table story);
+  *  - op mix ≈ 70% I / 25% U / 5% D, decided by a hash-free modular formula;
+  *  - `seq` = event_id (globally unique, monotone) — the LWW tiebreak,
+  *    ≈ OTS `seq_id` (`MultiVerModeRecordSender.java:135-141`);
+  *  - D rows carry a null payload, like OTS delete-row events.
+  */
+object Changelog {
+
+  /** The derivation, dialect-parameterized (`strType`: STRING for Spark,
+    * VARCHAR for DuckDB). Reads from a relation named `events`. */
+  def changelogSql(strType: String): String = s"""
+    SELECT
+      CASE WHEN r < 70 THEN 'I' WHEN r < 95 THEN 'U' ELSE 'D' END AS op,
+      conv_id,
+      turn_idx,
+      CASE WHEN r >= 95 THEN NULL
+           WHEN tmod = 0 THEN 'user'
+           WHEN tmod = 1 THEN 'assistant'
+           ELSE 'tool' END AS role,
+      CASE WHEN r >= 95 THEN NULL
+           ELSE concat(event_type, '#', CAST(event_id AS $strType)) END AS text,
+      CASE WHEN r < 95 AND tmod = 2
+           THEN concat('t', CAST(user_id % 7 AS $strType))
+           ELSE NULL END AS tool,
+      CASE WHEN r >= 95 THEN NULL ELSE ts END AS ts,
+      ts AS event_ts,
+      event_id AS seq
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+        concat('c', lpad(CAST(CASE WHEN user_id % 10 < 3 THEN user_id % 3
+                                   ELSE user_id % 97 END AS $strType), 4, '0')) AS conv_id,
+        CAST(event_id % 25 AS INT) AS turn_idx,
+        (event_id * 37 + user_id * 11) % 100 AS r,
+        event_id % 3 AS tmod
+      FROM events
+    ) AS e"""
+
+  def sparkChangelogSql: String = changelogSql("STRING")
+  def duckChangelogSql: String = changelogSql("VARCHAR")
+
+  /** DuckDB oracle for the final table state after full replay: per key the
+    * last event by (event_ts, seq); keys whose last op is D are absent. */
+  def duckFinalStateSql: String = s"""
+    WITH ch AS (${duckChangelogSql}),
+    ranked AS (
+      SELECT ch.*, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY event_ts DESC, seq DESC) AS rn
+      FROM ch)
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    ORDER BY conv_id, turn_idx"""
+
+  /** DuckDB oracle for the LWW dedup operator alone (keeps D winners). */
+  def duckLwwSql: String = s"""
+    WITH ch AS (${duckChangelogSql}),
+    ranked AS (
+      SELECT ch.*, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY event_ts DESC, seq DESC) AS rn
+      FROM ch)
+    SELECT op, conv_id, turn_idx, role, text, tool, ts, event_ts, seq
+    FROM ranked WHERE rn = 1
+    ORDER BY conv_id, turn_idx"""
+
+  /** Derive the changelog DataFrame from `<sfDir>/events.parquet`. */
+  def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(sparkChangelogSql)
+  }
+
+  // ---------------------------------------------------------------- binlog
+
+  /** Binlog segment schema = change schema + (shard, seg) partition cols.
+    * shard ≈ OTS stream shard (`OTSStreamReaderMasterProxy.java:78-107`):
+    * hash of conv_id, so per-key order is per-shard order. seg = WAL
+    * segment index by seq range (append-only files).
+    */
+  def binlogSchema: StructType = StructType(Model.changeSchema.fields.toSeq ++ Seq(
+    StructField("shard", IntegerType, nullable = true),
+    StructField("seg", IntegerType, nullable = true)))
+
+  /** Write a changelog as partitioned binlog segments:
+    * `<dir>/shard=<k>/seg=<j>/part-*.parquet`, one file per (shard, seg). */
+  def writeBinlog(df: DataFrame, dir: String, shards: Int, segSize: Long): Unit =
+    df.withColumn("shard", pmod(hash(col("conv_id")), lit(shards)))
+      .withColumn("seg", (col("seq") / lit(segSize)).cast("int"))
+      .repartition(col("shard"), col("seg"))
+      .write.partitionBy("shard", "seg").mode("append").parquet(dir)
+
+  /** Batch read of the whole binlog (or a seg range for replay windows). */
+  def readBinlog(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(binlogSchema).parquet(dir)
+
+  /** Streaming tail of the binlog directory. `maxFilesPerTrigger` is the
+    * rate/backpressure control — the analogue of the reference's channel
+    * byte/record caps (`core/.../transport/channel/Channel.java:176-239`). */
+  def binlogStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int): DataFrame = {
+    val r: DataStreamReader = spark.readStream
+      .schema(binlogSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    r.parquet(dir)
+  }
+}
