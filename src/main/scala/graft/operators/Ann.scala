@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps.portableHash
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Baseline: exact brute-force cosine top-k (quadratic — the correctness
+  * oracle and fine up to ~10⁵ vectors per partition-pair). Scale path:
+  * random-hyperplane LSH bucketing — vectors are hashed to sign-pattern
+  * buckets, the quadratic join runs only within buckets, and multiple
+  * independent tables recover recall. All arithmetic in double with a fixed
+  * fold order so results are deterministic and engine-comparable.
+  *
+  * The reference has no vector ops (nearest: opentsdb numeric series,
+  * `opentsdbreader/`); this module is the training-pipeline extension.
+  */
+object Ann {
+
+  /** id + embedding (cast to double) + precomputed L2 norm. */
+  private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0d),
+        (acc, x) => acc + x * x)))
+
+  private def dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+    lit(0.0d), (acc, x) => acc + x)
+
+  /** Exact cosine top-k per vector (self excluded). Output:
+    * (id, rank, neighbor_id, cos) with cos rounded to 6 dp; ties broken by
+    * neighbor id ascending. At scale, shard the cross join by blocking
+    * ([[lshTopK]]) — this operator is the small-N / verification path. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val p = prep(df, idCol, vecCol)
+    val pairs = p.as("a").join(p.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("neighbor_id"),
+        (dot / (col("a.norm") * col("b.norm"))).as("cos"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): uniform in [-1, 1) derived from the portable hash — no RNG, no
+    * engine dependence, reproducible across runs. */
+  private def planeComponent(table: Int, plane: Int, d: org.apache.spark.sql.Column) =
+    (pmod(portableHash(concat_ws("_", lit(table), lit(plane), d)), lit(2000L))
+      .cast("double") - 1000.0d) / 1000.0d
+
+  /** LSH bucket code for one table: sign bits of `planes` hyperplane dots. */
+  private def bucketCode(table: Int, planes: Int) = {
+    val codes = (0 until planes).map { pl =>
+      val proj = aggregate(
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          (x, i) => x * planeComponent(table, pl, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << pl)
+    }
+    codes.reduce(_ + _)
+  }
+
+  /** ANN top-k via random-hyperplane LSH: `tables` independent bucketings
+    * of `planes` bits each; candidate pairs share a bucket in ≥1 table;
+    * exact cosine + rank within candidates. Recall < 1 by construction —
+    * the scale/latency trade; verify against [[bruteForceTopK]] on samples.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int = 6, tables: Int = 4): DataFrame = {
+    val p = prep(df, idCol, vecCol)
+    val buckets = (0 until tables).map { t =>
+      p.select(col("id"), col("v"), col("norm"),
+        lit(t).as("tbl"), bucketCode(t, planes).as("bkt"))
+    }.reduce(_.unionByName(_))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("neighbor_id"),
+        (dot / (col("a.norm") * col("b.norm"))).as("cos"))
+      .groupBy(col("id"), col("neighbor_id"))
+      .agg(first(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+}

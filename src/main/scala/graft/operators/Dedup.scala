@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps.{fingerprint, normalize, portableHash, shingles, tokens}
+
+/** Document deduplication for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB corpus):
+  *  - exact dedup is one hash aggregation on a 16-byte digest (map-side
+  *    combine; shuffles digests, not documents);
+  *  - exact Jaccard all-pairs joins on shingles — correct but its shuffle
+  *    is O(Σ per-shingle df²): the small-scale oracle, not the scale path;
+  *  - MinHash+LSH is the scale path: per-doc signature (linear), band
+  *    buckets (linear), candidate pairs only within buckets, exact
+  *    verification on candidates only;
+  *  - SimHash reduces each doc to one 60-bit key; near-dup = small Hamming
+  *    distance, found via bit-band blocking (same banding idea).
+  * The reference has no dedup at all (nearest analogue: idempotent
+  * REPLACE/upsert writes, `plugin-rdbms-util/.../writer/WriterUtil.java:113-196`);
+  * this module is the training-pipeline extension.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact duplicate groups by normalized-content fingerprint: one row per
+    * distinct content with the canonical (min) id and the group size. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep one row per distinct content (the min-id representative). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // ------------------------------------------------------------ shingle sets
+
+  /** (id, shingle) pairs, distinct — the set representation used by both
+    * exact Jaccard and MinHash (identical tokenization ⇒ identical sets). */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(tokens(normalize(col(textCol))), n))).as("sh"))
+      .distinct()
+
+  // ------------------------------------------------------------ exact jaccard
+
+  /** All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+    * Exact (joins on shingle) — quadratic in per-shingle doc frequency, so
+    * only for modest corpora / as the verification oracle. Output jaccard
+    * is rounded to 6 dp for cross-engine comparability. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n).cache()
+    val card = sh.groupBy(col("id")).agg(count(lit(1)).as("card"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(card.withColumnRenamed("id", "id_a").withColumnRenamed("card", "ca"), "id_a")
+      .join(card.withColumnRenamed("id", "id_b").withColumnRenamed("card", "cb"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("ca") + col("cb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------ minhash + lsh
+
+  case class MinHashConfig(
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      threshold: Double = 0.8) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  private val MersennePrime = 2147483647L // 2^31-1
+
+  /** Per-doc MinHash signature as an array column `sig` of length k.
+    * One aggregation: shingle rows → k permutation rows → groupBy(id, i)
+    * min — linear in corpus size, map-side combined. Permutations
+    * h_i(x) = (a_i·x + b_i) mod p over the 31-bit folded portable hash
+    * (deterministic across runs AND engines). */
+  def minHashSignatures(sh: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val base = pmod(portableHash(col("sh")), lit(MersennePrime)).as("x")
+    // deterministic odd coefficients; any fixed co-prime family works
+    val aArr = array((0 until cfg.numHashes).map(i => lit(2L * i + 1)): _*)
+    val bArr = array((0 until cfg.numHashes).map(i => lit(40503L * i + 17L)): _*)
+    sh.select(col("id"), base)
+      .select(col("id"), explode(
+        transform(sequence(lit(0), lit(cfg.numHashes - 1)),
+          i => struct(i.as("i"),
+            pmod(element_at(aArr, i + 1) * col("x") + element_at(bArr, i + 1),
+              lit(MersennePrime)).as("h")))).as("p"))
+      .groupBy(col("id"), col("p.i").as("i"))
+      .agg(min(col("p.h")).as("mh"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("i"), col("mh")))).as("s"))
+      .select(col("id"), transform(col("s"), e => e("mh")).as("sig"))
+  }
+
+  /** Candidate pairs: docs sharing at least one LSH band (band = hash of a
+    * contiguous signature slice). Internal hash may be engine-local
+    * (xxhash64) — only the verified output must be portable. */
+  def lshCandidates(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val r = cfg.rowsPerBand
+    val banded = sigs.select(col("id"), explode(
+      transform(sequence(lit(0), lit(cfg.bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(b, concat_ws(",",
+            slice(col("sig"), b * r + 1, lit(r)))).as("bh")))).as("e"))
+      .select(col("id"), col("e.band"), col("e.bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified: candidates from banding,
+    * then true Jaccard (computed on the candidates only) ≥ threshold.
+    * At 16 bands × 4 rows the miss probability for a pair at j=0.8 is
+    * (1-0.8⁴)¹⁶ ≈ 2·10⁻⁴ and vanishes for the near-identical pairs real
+    * corpora dedup targets. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, cfg.shingleN).cache()
+    val sigs = minHashSignatures(sh, cfg)
+    val cand = lshCandidates(sigs, cfg)
+    val card = sh.groupBy(col("id")).agg(count(lit(1)).as("card"))
+    // exact verification restricted to candidate pairs
+    val inter = cand.join(sh.as("a"), col("id_a") === col("a.id"))
+      .join(sh.as("b"),
+        col("id_b") === col("b.id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(card.withColumnRenamed("id", "id_a").withColumnRenamed("card", "ca"), "id_a")
+      .join(card.withColumnRenamed("id", "id_b").withColumnRenamed("card", "cb"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("ca") + col("cb") - col("inter")), 6))
+      .filter(col("jaccard") >= cfg.threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** 60-bit SimHash per doc over tf-weighted token hashes ([[portableHash]]
+    * → engine-portable fingerprints). bit_j(doc) = [Σ_tokens tf·(2·bit_j(h)−1) > 0].
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("id"),
+        explode(tokens(normalize(col(textCol)))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", portableHash(col("tok")))
+    tf.select(col("id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("j"))
+      .withColumn("c", col("tf") * (expr("shiftright(h, j)") % 2 * 2 - 1))
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("c")).as("s"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, blocked on
+    * 4 × 15-bit bands (a pair within distance ≤ 3 shares ≥ 1 intact band —
+    * pigeonhole), so the join is band-bucketed, not all-pairs. */
+  def simHashPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    val bands = 4
+    val width = 15
+    val banded = hashes.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bh", expr(s"shiftright(simhash, band * $width) % ${1L << width}"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for a large-scale training-data pipeline: token stats,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * Everything here is pure Catalyst expressions (whole-stage codegen, no
+  * UDFs) and — deliberately — restricted to the Spark∩DuckDB-expressible
+  * dialect so each operator has an exact SQL oracle. Cross-engine hashing
+  * uses [[portableHash]] (md5-based), never `xxhash64`/`hash` (engine
+  * specific).
+  *
+  * The reference has no text analytics (its closest analogue is the
+  * per-record transformer chain, `core/.../transformer/`); this module is
+  * the training-pipeline extension the target engine needs.
+  */
+object TextOps {
+
+  /** Whitespace tokens. Synthetic corpus is single-space separated; for
+    * real corpora swap the delimiter regex — semantics are unchanged. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 60-bit portable hash: first 15 hex chars of md5, base-16 decoded.
+    * Identical in DuckDB as `('0x' || substr(md5(x),1,15))::BIGINT` —
+    * the cross-engine determinism anchor for minhash/simhash/fingerprints.
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles: n-token windows joined by a space.
+    * `transform(sequence(...))` keeps it codegen-friendly; duplicate
+    * shingles retained (dedup where the operator needs sets). */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+
+  /** Canonical text normalization for fingerprinting: lower, trim,
+    * collapse runs of whitespace. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact-content fingerprint (md5 of normalized text). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Winnowing-style robust fingerprint: the minimum shingle hash — a
+    * 1-permutation minhash; equal for any two docs sharing their minimal
+    * shingle, cheap first-pass near-dup key. */
+  def minShingleFingerprint(text: Column, n: Int): Column =
+    array_min(transform(shingles(tokens(normalize(text)), n),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language
+    * heuristic. Deterministic, oracle-expressible. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "fr" -> Seq("le", "la", "les", "des", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Count of tokens that appear in `words` (multiset count). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Token/char statistics per document. Adds n_tokens, n_chars_calc,
+    * avg_token_len, distinct_ratio. */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_tokens", size(t))
+      .withColumn("n_chars_calc", length(col(textCol)))
+      .withColumn("avg_token_len",
+        (length(col(textCol)) - size(t) + 1).cast("double") / size(t))
+      .withColumn("distinct_ratio",
+        size(array_distinct(t)).cast("double") / size(t))
+  }
+
+  /** Quality score in [0,1]: blend of length band, lexical diversity and
+    * stopword presence — the shape of a real quality filter, with a
+    * deterministic closed form so the oracle is exact. */
+  def qualityScore(textCol: Column): Column = {
+    val t = tokens(textCol)
+    val nTok = size(t).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val diversity = size(array_distinct(t)).cast("double") / nTok
+    val stopHits = stopwordHits(t, Seq("the", "a")).cast("double")
+    val stopScore = least(stopHits / lit(3.0), lit(1.0))
+    round(lit(0.4) * lenScore + lit(0.4) * diversity + lit(0.2) * stopScore, 6)
+  }
+
+  /** Language ID by stopword voting: argmax over languages of the per-lang
+    * stopword hit count; ties and zero evidence → "und" (undetermined).
+    * Tie-break: deterministic by language code ascending. */
+  def langId(textCol: Column): Column = {
+    val t = tokens(textCol)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(t, words).as("hits"), lit(lang).as("lang"))
+    }
+    // max by (hits, then lang DESC) so that on hit-ties the FIRST lang code
+    // alphabetically wins under max ⇒ compare (hits asc, lang desc)
+    val best = scored.reduce { (a, b) =>
+      when(b("hits") > a("hits"), b)
+        .when(b("hits") === a("hits") && b("lang") < a("lang"), b)
+        .otherwise(a)
+    }
+    when(best("hits") > 0, best("lang")).otherwise(lit("und"))
+  }
+}
