@@ -73,7 +73,7 @@ object Ann {
     * the scale/latency trade; verify against [[bruteForceTopK]] on samples.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      planes: Int = 6, tables: Int = 4): DataFrame = {
+      planes: Int = 4, tables: Int = 8): DataFrame = {
     val p = prep(df, idCol, vecCol)
     val buckets = (0 until tables).map { t =>
       p.select(col("id"), col("v"), col("norm"),

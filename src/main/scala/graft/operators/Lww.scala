@@ -45,6 +45,24 @@ object Lww {
     latest(phase1.drop("_salt"), keys, ordering)
   }
 
+  /** Single-shuffle bucketed LWW: repartition by (bucket, salt) — both
+    * functions of the key, so key locality is preserved — then aggregate
+    * grouped by (bucket, salt, keys). Spark sees the child partitioning
+    * satisfy the grouping distribution and plans NO second exchange: the
+    * rows land shuffled exactly as the bucketed writer needs them, and the
+    * dedup happens in place. Halves the shuffle volume of the merge path
+    * vs dedup-then-repartition (the 10^10-event difference).
+    */
+  def latestBucketed(df: DataFrame, keys: Seq[String], ordering: Seq[String],
+      bucketCol: String, saltCol: String): DataFrame = {
+    val grouping = Seq(bucketCol, saltCol) ++ keys
+    val payload = df.columns.filterNot(c => grouping.contains(c)).toSeq
+    df.repartition(col(bucketCol), col(saltCol))
+      .groupBy(grouping.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), struct(ordering.map(col): _*)).as("_w"))
+      .select((grouping.map(col) ++ payload.map(c => col(s"_w.`$c`").as(c))): _*)
+  }
+
   /** Window-rank formulation (`row_number() over (partition by key order by
     * ordering desc) = 1`) — reference semantics spelled the declarative way;
     * kept for property-testing equivalence with [[latest]], not for the hot

@@ -10,7 +10,7 @@ import org.json4s.DefaultFormats
 import org.json4s.jackson.Serialization
 
 import graft.model.Model
-import graft.operators.{Lww, Skew}
+import graft.operators.Lww
 
 /** "icelite": a minimal snapshot-transactional table format over parquet.
   *
@@ -70,6 +70,9 @@ object Icelite {
       summary: Map[String, String],
       committedAtMs: Long)
 
+  /** Per-merge counters. `inputRows`/`deletes` count raw change events in
+    * the batch (pre-dedup — the deduped row counts live in the manifest's
+    * per-file `rows`). */
   case class MergeStats(
       snapshotId: Long,
       batchId: Long,
@@ -336,15 +339,20 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     val schemas = if (schemaChanged) snap.schemas :+ newFull.json else snap.schemas
     val schemaId = if (schemaChanged) schemas.size - 1 else snap.currentSchemaId
 
-    // LWW-dedup the batch per key, then normalize to table row shape
-    val deduped = Lww.latest(batchIn, Model.keyCols, Seq("event_ts", "seq"))
+    // Normalize to table row shape (LWW dedup happens fused into each
+    // bucketed write — [[Lww.latestBucketed]]: ONE shuffle moves the rows
+    // to their write buckets AND collapses duplicates, instead of a
+    // dedup shuffle followed by a repartition shuffle). Cached: feeds the
+    // stats aggregate plus one or two writes — without the cache every
+    // action re-scans the source (at 10^10 events that triples input IO).
     val norm = align(
-      deduped
+      batchIn
         .withColumn("_event_ts", col("event_ts"))
         .withColumn("_seq", col("seq"))
         .withColumn("_deleted", col("op") === lit("D")),
       newFull)
     val withB = norm.withColumn(BucketCol, pmod(hash(col("conv_id")), lit(snap.buckets)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one small aggregate: per-bucket row counts + seq ranges + delete counts
     val stats = withB.groupBy(col(BucketCol)).agg(
@@ -355,6 +363,7 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
 
     if (stats.isEmpty) { // empty batch: metadata-only commit advances the gate
+      withB.unpersist()
       val next = snap.copy(snapshotId = snap.snapshotId + 1, parentId = snap.snapshotId,
         writerId = writerId, lastBatchId = batchId, schemas = schemas,
         currentSchemaId = schemaId, committedAtMs = System.currentTimeMillis())
@@ -373,10 +382,16 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     val nextId = snap.snapshotId + 1
     var newFiles = List.empty[DataFileMeta]
 
+    // salt slots per bucket from the stats we already collected — no
+    // second counting pass over the data
+    val batchSlots: Map[Int, Int] = stats.map { case (b, (n, _, _, _)) =>
+      b -> math.max(1, math.ceil(n.toDouble / opts.targetRowsPerTask).toInt)
+    }
+
     if (deltaSet.nonEmpty) {
       val rel = s"data/d-$nextId"
       val part = withB.filter(col(BucketCol).isInCollection(deltaSet))
-      writeBucketed(part, s"$root/$rel", opts)
+      writeBucketed(part, s"$root/$rel", batchSlots)
       newFiles ++= listStaged(rel, "delta", schemaId, stats)
     }
     if (compactSet.nonEmpty) {
@@ -390,12 +405,19 @@ class IceliteTable(val spark: SparkSession, val root: String) {
           .withColumn(BucketCol, pmod(hash(col("conv_id")), lit(snap.buckets))))
       val incoming = withB.filter(col(BucketCol).isInCollection(compactSet))
       val combined = old.map(_.unionByName(incoming)).getOrElse(incoming)
-      val resolved0 = Lww.latest(combined, Model.keyCols, Seq("_event_ts", "_seq"))
-      val resolved = if (opts.dropTombstonesOnCompact) resolved0.filter(!col("_deleted"))
-        else resolved0
-      writeBucketed(resolved, s"$root/$rel", opts)
+      // compaction rewrites whole buckets: slots sized by total bucket
+      // rows (existing + incoming), not just the batch
+      val oldRows: Map[Int, Long] = snap.files.filter(f => compactSet.contains(f.bucket))
+        .groupBy(_.bucket).map { case (b, fs) => b -> fs.map(f => math.max(f.rows, 0L)).sum }
+      val compactSlots = compactSet.map { b =>
+        val n = oldRows.getOrElse(b, 0L) + stats.get(b).map(_._1).getOrElse(0L)
+        b -> math.max(1, math.ceil(n.toDouble / opts.targetRowsPerTask).toInt)
+      }.toMap
+      writeBucketed(combined, s"$root/$rel", compactSlots,
+        dropTombstones = opts.dropTombstonesOnCompact)
       newFiles ++= listStaged(rel, "base", schemaId, stats)
     }
+    withB.unpersist()
 
     val kept = snap.files.filterNot(f => compactSet.contains(f.bucket))
     val nRows = stats.values.map(_._1).sum
@@ -411,13 +433,26 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       affected.size, compactSet.size, (System.nanoTime() - t0) / 1000000)
   }
 
-  /** Salted bucketed write: hot buckets fan out over several tasks
-    * ([[Skew.saltByBucket]]); `partitionBy(bkt)` lays files per bucket. */
-  private def writeBucketed(df: DataFrame, absDir: String, opts: Options): Unit = {
-    val salted = Skew.saltByBucket(df, BucketCol, opts.targetRowsPerTask, Seq("_seq"))
-    salted
-      .repartition(col(BucketCol), col("_salt"))
-      .drop("_salt", "_cnt")
+  /** Salted, deduped, bucketed write in ONE shuffle: key-salt (a function
+    * of the key, `slots(bucket)` slots per bucket) fans hot buckets over
+    * several tasks while keeping key locality; [[Lww.latestBucketed]]
+    * repartitions by (bucket, salt) and aggregates in place — no second
+    * exchange; `partitionBy(bkt)` lays files per bucket. Slot counts come
+    * from the merge's own bucket stats — no extra counting job. */
+  private def writeBucketed(df: DataFrame, absDir: String, slots: Map[Int, Int],
+      dropTombstones: Boolean = false): Unit = {
+    val hot = slots.filter(_._2 > 1)
+    val saltExpr =
+      if (hot.isEmpty) lit(0)
+      else {
+        val slotMap = map(hot.toSeq.flatMap { case (b, s) => Seq(lit(b), lit(s)) }: _*)
+        pmod(xxhash64(Model.keyCols.map(col): _*),
+          coalesce(element_at(slotMap, col(BucketCol)), lit(1))).cast("int")
+      }
+    val deduped = Lww.latestBucketed(df.withColumn("_ksalt", saltExpr),
+      Model.keyCols, Seq("_event_ts", "_seq"), BucketCol, "_ksalt")
+    val out = if (dropTombstones) deduped.filter(!col("_deleted")) else deduped
+    out.drop("_ksalt")
       .write.partitionBy(BucketCol).parquet(absDir)
   }
 

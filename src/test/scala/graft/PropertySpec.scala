@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Model
+import graft.model.Model.ChangeEvent
+import graft.operators.Lww
+import graft.plans.Icelite
+import graft.streaming.Ingest
+
+/** Property-style suites (seeded randomness — deterministic reruns):
+  * random I/U/D interleavings replay to the in-memory oracle; batch
+  * segmentation and salting never change the result (SURVEY.md §5.2).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(1700000000000L + ms)
+
+  /** Random event stream: keys from a small pool (forces collisions),
+    * event_ts with duplicates (forces seq tiebreaks), late arrivals. */
+  private def randomEvents(rnd: Random, n: Int): Seq[ChangeEvent] =
+    (0 until n).map { i =>
+      val conv = s"c${rnd.nextInt(6)}"
+      val turn = rnd.nextInt(4)
+      val op = rnd.nextInt(100) match {
+        case r if r < 55 => "I"
+        case r if r < 85 => "U"
+        case _           => "D"
+      }
+      val eventTs = ts(rnd.nextInt(50).toLong * 1000) // heavy ties
+      val del = op == "D"
+      ChangeEvent(op, conv, turn,
+        if (del) null else "user",
+        if (del) null else s"text-$i",
+        if (del) null else (if (rnd.nextBoolean()) s"t${rnd.nextInt(3)}" else null),
+        if (del) null else eventTs,
+        eventTs, i.toLong)
+    }
+
+  private def oracle(events: Seq[ChangeEvent]): Set[(String, Int, String)] =
+    events.groupBy(e => (e.conv_id, e.turn_idx))
+      .map { case (_, es) => es.maxBy(e => (e.event_ts.getTime, e.seq)) }
+      .filter(_.op != "D")
+      .map(e => (e.conv_id, e.turn_idx, e.text)).toSet
+
+  private def state(df: org.apache.spark.sql.DataFrame): Set[(String, Int, String)] =
+    df.select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+
+  test("random interleavings: replay equals oracle for 5 seeds") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val events = randomEvents(rnd, 400)
+      val root = tmpDir(s"prop-$seed")
+      val cfg = Ingest.Config(s"$root/t", s"$root/c", s"w$seed", buckets = 4)
+      val df = spark.createDataset(events).toDF()
+      // random contiguous segmentation into 1..5 batches
+      val cuts = (0 +: Seq.fill(rnd.nextInt(4))(rnd.nextInt(400)).distinct.sorted :+ 400)
+      val batches = cuts.sliding(2).map { case Seq(a, b) =>
+        df.filter($"seq" >= a && $"seq" < b) }.toSeq
+      Ingest.replay(spark, cfg, batches)
+      val got = state(Icelite.load(spark, cfg.tablePath).read())
+      assert(got === oracle(events), s"seed=$seed")
+    }
+  }
+
+  test("segmentation invariance: 1 batch vs many, same final table") {
+    val events = randomEvents(new Random(99), 300)
+    val df = spark.createDataset(events).toDF()
+    val r1 = tmpDir("prop-one"); val r2 = tmpDir("prop-many")
+    Ingest.replay(spark, Ingest.Config(s"$r1/t", s"$r1/c", "w1", buckets = 4), Seq(df))
+    Ingest.replay(spark, Ingest.Config(s"$r2/t", s"$r2/c", "w2", buckets = 4),
+      (0 until 10).map(i => df.filter($"seq" % 10 === i))) // interleaved, NOT seq-contiguous
+    val a = state(Icelite.load(spark, s"$r1/t").read())
+    val b = state(Icelite.load(spark, s"$r2/t").read())
+    assert(a === b && a === oracle(events))
+  }
+
+  test("salting invariance: aggressive salting does not change results") {
+    val events = randomEvents(new Random(7), 300)
+    val df = spark.createDataset(events).toDF()
+    val r1 = tmpDir("prop-nosalt"); val r2 = tmpDir("prop-salt")
+    Ingest.replay(spark, Ingest.Config(s"$r1/t", s"$r1/c", "w1", buckets = 2,
+      opts = Icelite.Options(targetRowsPerTask = 1000000)), Seq(df))
+    Ingest.replay(spark, Ingest.Config(s"$r2/t", s"$r2/c", "w2", buckets = 2,
+      opts = Icelite.Options(targetRowsPerTask = 5)), Seq(df)) // every bucket salted
+    assert(state(Icelite.load(spark, s"$r1/t").read()) ===
+      state(Icelite.load(spark, s"$r2/t").read()))
+  }
+
+  test("LWW aggregation == window formulation on random data") {
+    for (seed <- Seq(11, 12)) {
+      val df = spark.createDataset(randomEvents(new Random(seed), 500)).toDF()
+      val cols = df.columns.sorted.map(col).toSeq
+      val a = Lww.latest(df, Model.keyCols, Seq("event_ts", "seq")).select(cols: _*)
+      val b = Lww.latestByWindow(df, Model.keyCols, Seq("event_ts", "seq")).select(cols: _*)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"seed=$seed")
+    }
+  }
+}

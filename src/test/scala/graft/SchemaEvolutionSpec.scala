@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.plans.Icelite
+import graft.streaming.Ingest
+
+/** Schema evolution at merge time (north rule: add-column / type-widen;
+  * the reference has none — writer errors on column-count mismatch,
+  * `CommonRdbmsWriter.java:290-300`). */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  private def batch(rows: Seq[(String, String, Int, String, Long)]): DataFrame =
+    rows.toDF("op", "conv_id", "turn_idx", "text", "seq")
+      .withColumn("role", lit("user"))
+      .withColumn("tool", lit(null).cast("string"))
+      .withColumn("ts", lit(ts(0)))
+      .withColumn("event_ts", timestamp_millis(lit(1700000000000L) + col("seq")))
+
+  test("add-column: later batch introduces a new nullable payload column") {
+    val root = tmpDir("evo1")
+    val cfg = Ingest.Config(s"$root/t", s"$root/c", "w0", buckets = 4)
+    Ingest.applyBatch(spark, cfg,
+      batch(Seq(("I", "c1", 0, "v1", 1L))), 0L)
+    // batch 2 carries an extra column `score`
+    Ingest.applyBatch(spark, cfg,
+      batch(Seq(("I", "c2", 0, "v2", 2L))).withColumn("score", lit(7)), 1L)
+    val table = Icelite.load(spark, cfg.tablePath)
+    val schema = table.currentSchema()
+    assert(schema.fieldNames.contains("score"))
+    val rows = table.read().orderBy("conv_id").collect()
+    assert(rows.length === 2)
+    val byConv = rows.map(r => r.getString(0) -> r).toMap
+    assert(byConv("c1").isNullAt(byConv("c1").fieldIndex("score"))) // backfilled null
+    assert(byConv("c2").getInt(byConv("c2").fieldIndex("score")) === 7)
+  }
+
+  test("type widen: int payload column widens to long; old rows upcast") {
+    val root = tmpDir("evo2")
+    val cfg = Ingest.Config(s"$root/t", s"$root/c", "w0", buckets = 4)
+    Ingest.applyBatch(spark, cfg,
+      batch(Seq(("I", "c1", 0, "v1", 1L))).withColumn("score", lit(7)), 0L)
+    Ingest.applyBatch(spark, cfg,
+      batch(Seq(("I", "c2", 0, "v2", 2L)))
+        .withColumn("score", lit(9000000000L)), 1L)
+    val table = Icelite.load(spark, cfg.tablePath)
+    assert(table.currentSchema()("score").dataType === LongType)
+    val m = table.read().collect()
+      .map(r => r.getString(r.fieldIndex("conv_id")) ->
+        r.getLong(r.fieldIndex("score"))).toMap
+    assert(m === Map("c1" -> 7L, "c2" -> 9000000000L))
+  }
+
+  test("narrowing and incompatible changes are rejected") {
+    assert(!Icelite.canWiden(LongType, IntegerType))
+    assert(!Icelite.canWiden(DoubleType, FloatType))
+    assert(!Icelite.canWiden(StringType, LongType))
+    assert(Icelite.canWiden(IntegerType, LongType))
+    assert(Icelite.canWiden(FloatType, DoubleType))
+    val root = tmpDir("evo3")
+    val cfg = Ingest.Config(s"$root/t", s"$root/c", "w0", buckets = 4)
+    Ingest.applyBatch(spark, cfg,
+      batch(Seq(("I", "c1", 0, "v1", 1L))).withColumn("score", lit(1L)), 0L)
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.applyBatch(spark, cfg,
+        batch(Seq(("I", "c2", 0, "v2", 2L))).withColumn("score", lit("oops")), 1L)
+    }
+    assert(ex.getMessage.contains("score"))
+  }
+
+  test("time travel across a schema change reads each snapshot's schema") {
+    val root = tmpDir("evo4")
+    val cfg = Ingest.Config(s"$root/t", s"$root/c", "w0", buckets = 4)
+    Ingest.applyBatch(spark, cfg, batch(Seq(("I", "c1", 0, "v1", 1L))), 0L)
+    val table = Icelite.load(spark, cfg.tablePath)
+    val snap1 = table.snapshot()
+    Ingest.applyBatch(spark, cfg,
+      batch(Seq(("U", "c1", 0, "v2", 2L))).withColumn("score", lit(1)), 1L)
+    // old snapshot: no score column, old text
+    val old = table.readRaw(Some(snap1))
+    assert(!old.columns.contains("score"))
+    assert(old.select("text").head().getString(0) === "v1")
+    // new snapshot: evolved schema, LWW winner
+    val cur = table.read()
+    assert(cur.columns.contains("score"))
+    assert(cur.select("text").head().getString(0) === "v2")
+  }
+}
