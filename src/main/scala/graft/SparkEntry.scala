@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.model.Model
 import graft.operators.{Ann, Dedup, Lww, Skew, TextOps, Transforms}
 import graft.plans.Icelite
-import graft.sources.Changelog
+import graft.sources.{Changelog, FileIo}
 import graft.streaming.Ingest
 
 /** Driver contract — queries (one per operator, SURVEY.md §2) + exact
@@ -61,6 +61,26 @@ object SparkEntry {
     "cdc_heavy_hitters" -> ((s, dir) =>
       Skew.heavyHitters(Changelog.fromEvents(s, dir), "conv_id", 10)),
 
+    // multi-version cell-level CDC shaping (reference S8)
+    "cdc_cell_changes" -> ((s, dir) =>
+      Changelog.cellChanges(Changelog.fromEvents(s, dir))
+        .orderBy("seq", "column_name")),
+
+    // final-state transcripts reassembled in stable turn order
+    "transcript_assembly" -> ((s, dir) => {
+      val fin = Lww.latest(Changelog.fromEvents(s, dir), Model.keyCols,
+          Seq("event_ts", "seq"))
+        .filter(col("op") =!= "D")
+      fin.groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("n_turns"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+              e => e("text")),
+            "\n").as("transcript"))
+        .orderBy("conv_id")
+    }),
+
     // ------------------------------------------------ ETL transforms (events)
     "etl_transform_chain" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -71,6 +91,35 @@ object SparkEntry {
           Transforms.dxReplace(col("event_type"), 1, 2, "__").as("masked"))
         .filter(Transforms.keepFilter(col("event_type"), "like", "err.*"))
         .orderBy("event_id")
+    }),
+
+    // dx_filter range/equality ops (inverted sense: match ⇒ drop)
+    "etl_filter_range" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.filter(Transforms.keepFilter(col("value"), ">", "50.0"))
+        .filter(Transforms.keepFilter(col("user_id"), "<=", "10"))
+        .filter(Transforms.keepFilter(col("event_type"), "=", "purchase"))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    // CSV source/sink round-trip (reference S3/W6: delimiter, header,
+    // nullFormat, gzip) — engine reads back exactly what it wrote
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tmp = Files.createTempDirectory("graft-csv").toString
+      val o = FileIo.TextOptions(delimiter = "\t", header = true,
+        compress = Some("gzip"))
+      FileIo.writeCsv(ev, s"$tmp/events_csv", o)
+      FileIo.readCsv(s, s"$tmp/events_csv", ev.schema, o).orderBy("event_id")
+    }),
+
+    "src_jsonl_roundtrip" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tmp = Files.createTempDirectory("graft-jsonl").toString
+      val o = FileIo.TextOptions(compress = Some("gzip"))
+      FileIo.writeJsonl(ev, s"$tmp/events_jsonl", o)
+      FileIo.readJsonl(s, s"$tmp/events_jsonl", ev.schema, o).orderBy("event_id")
     }),
 
     "etl_dirty_gate" -> ((s, dir) => {
@@ -91,6 +140,14 @@ object SparkEntry {
           size(t).as("n_tokens"),
           ((length(col("text")) - size(t) + 1).cast("double") / size(t)).as("avg_token_len"),
           (size(array_distinct(t)).cast("double") / size(t)).as("distinct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "text_token_bpe" -> ((s, dir) => {
+      val b = TextOps.bpeTokens(col("text"))
+      docs(s, dir).select(col("doc_id"),
+          size(b).as("n_bpe"),
+          size(array_distinct(b)).as("n_bpe_distinct"))
         .orderBy("doc_id")
     }),
 
@@ -135,9 +192,20 @@ object SparkEntry {
         .orderBy("id", "rank")),
 
     // approximate by construction — rows-only check (no oracle entry);
-    // recall vs brute force is asserted in AnnSpec
+    // recall vs brute force is asserted in OperatorsSpec
     "ann_lsh_topk" -> ((s, dir) =>
       Ann.lshTopK(embs(s, dir), "vec_id", "embedding", 5)
+        .orderBy("id", "rank")),
+
+    // embedding-cosine near-duplicate pairs (exact baseline, oracle'd)
+    "ann_cosine_dup" -> ((s, dir) =>
+      Ann.cosinePairs(embs(s, dir), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // IVF ANN — approximate by construction, rows-only check; recall vs
+    // brute force asserted in OperatorsSpec
+    "ann_ivf_topk" -> ((s, dir) =>
+      Ann.ivfTopK(embs(s, dir), "vec_id", "embedding", 5)
         .orderBy("id", "rank")),
 
     // ------------------------------------------------ relational smoke
@@ -204,6 +272,46 @@ object SparkEntry {
       SELECT conv_id, count(*) AS n FROM ch GROUP BY 1
       ORDER BY n DESC, conv_id LIMIT 10""",
 
+    "cdc_cell_changes" -> s"""
+      WITH ch AS (${Changelog.duckChangelogSql})
+      SELECT * FROM (
+        SELECT conv_id, turn_idx, 'role' AS column_name, role AS value,
+          'U' AS op_type, event_ts, seq FROM ch WHERE op <> 'D' AND role IS NOT NULL
+        UNION ALL
+        SELECT conv_id, turn_idx, 'text', text, 'U', event_ts, seq
+        FROM ch WHERE op <> 'D' AND text IS NOT NULL
+        UNION ALL
+        SELECT conv_id, turn_idx, 'tool', tool, 'U', event_ts, seq
+        FROM ch WHERE op <> 'D' AND tool IS NOT NULL
+        UNION ALL
+        SELECT conv_id, turn_idx, NULL, NULL, 'DR', event_ts, seq
+        FROM ch WHERE op = 'D')
+      ORDER BY seq, column_name""",
+
+    "transcript_assembly" -> s"""
+      WITH ch AS (${Changelog.duckChangelogSql}),
+      ranked AS (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY event_ts DESC, seq DESC) AS rn
+        FROM ch)
+      SELECT conv_id, count(*) AS n_turns,
+        string_agg(text, chr(10) ORDER BY turn_idx) AS transcript
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      GROUP BY conv_id ORDER BY conv_id""",
+
+    "etl_filter_range" -> """
+      SELECT event_id, user_id, event_type, value
+      FROM events
+      WHERE NOT coalesce(value > 50.0, false)
+        AND NOT coalesce(user_id <= 10, false)
+        AND NOT coalesce(event_type = 'purchase', false)
+      ORDER BY event_id""",
+
+    "src_csv_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
+
+    "src_jsonl_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
+
     "etl_transform_chain" -> """
       SELECT event_id,
         substr(event_type, 1, 3) AS etype3,
@@ -227,6 +335,12 @@ object SparkEntry {
           / len(string_split(text, ' ')) AS avg_token_len,
         len(list_distinct(string_split(text, ' ')))::DOUBLE
           / len(string_split(text, ' ')) AS distinct_ratio
+      FROM documents ORDER BY doc_id""",
+
+    "text_token_bpe" -> """
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+        len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_bpe_distinct
       FROM documents ORDER BY doc_id""",
 
     "text_quality" -> """
@@ -309,6 +423,17 @@ object SparkEntry {
         FROM pairs)
       SELECT id, rank, neighbor_id, round(cos, 6) AS cos
       FROM ranked WHERE rank <= 5 ORDER BY id, rank""",
+
+    "ann_cosine_dup" -> """
+      WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings)
+      SELECT a.id AS id_a, b.id AS id_b,
+        round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
+      FROM v a JOIN v b ON a.id < b.id
+      WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.4
+      ORDER BY id_a, id_b""",
 
     "docs_by_source" -> """
       SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,

@@ -92,4 +92,87 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) with cosine ≥
+    * `threshold`. Exact all-pairs — the correctness baseline and the oracle
+    * for the LSH-blocked variant; at corpus scale run [[lshCosinePairs]].
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val p = prep(df, idCol, vecCol)
+    p.as("a").join(p.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot / (col("a.norm") * col("b.norm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** LSH-blocked cosine near-dup pairs: candidates share a random-hyperplane
+    * bucket in ≥1 of `tables` tables; exact cosine computed on candidates
+    * only, then thresholded. Same output shape as [[cosinePairs]]; recall
+    * (vs exact) rises with `tables` and falls with `threshold` distance. */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 4, tables: Int = 8): DataFrame = {
+    val p = prep(df, idCol, vecCol)
+    val buckets = (0 until tables).map { t =>
+      p.select(col("id"), col("v"), col("norm"),
+        lit(t).as("tbl"), bucketCode(t, planes).as("bkt"))
+    }.reduce(_.unionByName(_))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot / (col("a.norm") * col("b.norm"))).as("cos"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("cos")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the classic scale path for dense
+    * retrieval (coarse quantizer + per-list exact search):
+    *
+    *  1. coarse centroids = the `nlist` vectors with the smallest ids
+    *     (deterministic stand-in for k-means — at scale, plug trained
+    *     centroids in; the plan shape is identical);
+    *  2. build: every vector is assigned to its nearest centroid
+    *     (broadcast the centroid table — it is tiny — so assignment is a
+    *     map-only pass, no shuffle of the corpus);
+    *  3. query: each vector probes its `nProbe` nearest centroids and runs
+    *     exact cosine against only those inverted lists.
+    *
+    * The candidate join is equi-join on `list_id` — a shuffle of corpus
+    * rows grouped by list, each list small (corpus/nlist on average), so
+    * the quadratic blow-up is bounded per list. Recall < 1 by construction
+    * (asserted vs [[bruteForceTopK]] in AnnSpec).
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nProbe: Int = 4): DataFrame = {
+    val p = prep(df, idCol, vecCol)
+    val cents = p.orderBy(col("id")).limit(nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+    val cdot = aggregate(zip_with(col("v"), col("cv"), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    // rank centroids per vector once; slot 1 = assignment, 1..nProbe = probes
+    val ranked = p.join(broadcast(cents))
+      .select(col("id"), col("v"), col("norm"), col("cid"),
+        (cdot / (col("norm") * col("cnorm"))).as("ccos"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)))
+    val lists = ranked.filter(col("crank") === 1) // inverted lists
+      .select(col("cid").as("list_id"), col("id"), col("v"), col("norm"))
+    val probes = ranked.filter(col("crank") <= nProbe)
+      .select(col("id"), col("v"), col("norm"), col("cid").as("list_id"))
+    val cand = probes.as("a").join(lists.as("b"),
+        col("a.list_id") === col("b.list_id") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("neighbor_id"),
+        (dot / (col("a.norm") * col("b.norm"))).as("cos"))
+      .groupBy(col("id"), col("neighbor_id"))
+      .agg(first(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
 }

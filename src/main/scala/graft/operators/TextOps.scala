@@ -37,6 +37,13 @@ object TextOps {
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
 
+  /** BPE-ish pre-tokenization (the GPT-2 pre-tokenizer shape): letter
+    * runs, digit runs, and single punctuation marks, as one codegen'd
+    * regex extraction. The character-class-only pattern has identical
+    * semantics in Java regex and DuckDB's RE2 (oracle-expressible). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+
   /** Canonical text normalization for fingerprinting: lower, trim,
     * collapse runs of whitespace. */
   def normalize(text: Column): Column =

@@ -1,6 +1,7 @@
 package graft.plans
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -120,7 +121,7 @@ object Icelite {
 
   // ---------------------------------------------------------------- metadata io
 
-  private def versionFile(root: String, id: Long) =
+  private[plans] def versionFile(root: String, id: Long) =
     Paths.get(root, "_icelite", f"v$id%010d.json")
 
   private[plans] def latestVersion(root: String): Option[Long] = {
@@ -431,6 +432,86 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     writeSnapshot(root, next)
     MergeStats(nextId, batchId, skipped = false, nRows, nRows - nDel, nDel,
       affected.size, compactSet.size, (System.nanoTime() - t0) / 1000000)
+  }
+
+  // ---------------------------------------------------------------- maintenance
+
+  /** Maintenance compaction: rewrite every bucket carrying delta files into
+    * a single base generation (the Iceberg `rewrite_data_files` analogue).
+    * Bounded per bucket; buckets without deltas are untouched. Does NOT
+    * advance the (writerId, batchId) idempotence gate — a maintenance
+    * commit can interleave with ingest batches safely. Returns the new
+    * snapshot id (or the current one if there was nothing to do). */
+  def compactAll(opts: Options = Options(),
+      dropTombstones: Boolean = false): Long = {
+    val snap = snapshot()
+    val compactSet = snap.files.filter(_.kind == "delta").map(_.bucket).toSet
+    if (compactSet.isEmpty) return snap.snapshotId
+    val full = schemaFor(snap, snap.currentSchemaId)
+    val nextId = snap.snapshotId + 1
+    val rel = s"data/b-$nextId"
+    val oldFiles = snap.files.filter(f => compactSet.contains(f.bucket))
+    val df = oldFiles.groupBy(_.schemaId).map { case (sid, fs) =>
+      align(spark.read.schema(schemaFor(snap, sid))
+        .parquet(fs.map(f => s"$root/${f.path}"): _*), full)
+    }.reduce(_.unionByName(_))
+      .withColumn(BucketCol, pmod(hash(col("conv_id")), lit(snap.buckets)))
+    val byBucket = oldFiles.groupBy(_.bucket)
+    val bucketStats: Map[Int, (Long, Long, Long, Long)] = byBucket.map {
+      case (b, fs) => b -> ((fs.map(f => math.max(f.rows, 0L)).sum, 0L,
+        fs.map(_.minSeq).filter(_ >= 0).minOption.getOrElse(-1L),
+        fs.map(_.maxSeq).max))
+    }
+    val slots = bucketStats.map { case (b, (n, _, _, _)) =>
+      b -> math.max(1, math.ceil(n.toDouble / opts.targetRowsPerTask).toInt)
+    }
+    writeBucketed(df, s"$root/$rel", slots, dropTombstones)
+    val newFiles = listStaged(rel, "base", snap.currentSchemaId, bucketStats)
+    val next = snap.copy(snapshotId = nextId, parentId = snap.snapshotId,
+      files = snap.files.filterNot(f => compactSet.contains(f.bucket)) ++ newFiles,
+      summary = Map("maintenance" -> "compact",
+        "buckets.compacted" -> compactSet.size.toString),
+      committedAtMs = System.currentTimeMillis())
+    writeSnapshot(root, next)
+    nextId
+  }
+
+  /** Expire all but the newest `keepLast` snapshots and delete data files
+    * no kept snapshot references (Iceberg `expire_snapshots` + orphan-file
+    * removal). Time travel to expired ids stops working, by design.
+    * Returns (snapshots expired, data files deleted). */
+  def expireSnapshots(keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val dir = Paths.get(root, "_icelite")
+    val versions = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .flatMap(n => Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
+        .toSeq.sorted
+      finally s.close()
+    }
+    val (drop, keep) = versions.splitAt(math.max(versions.size - keepLast, 0))
+    val referenced: Set[String] =
+      keep.flatMap(v => readSnapshot(root, v).files.map(_.path)).toSet
+    drop.foreach(v => Files.deleteIfExists(versionFile(root, v)))
+    var deleted = 0
+    val dataDir = Paths.get(root, "data")
+    if (Files.isDirectory(dataDir)) {
+      val walk = Files.walk(dataDir)
+      try walk.iterator().asScala.toSeq.reverse.foreach { p =>
+        val relPath = Paths.get(root).relativize(p).toString
+        if (Files.isRegularFile(p) && relPath.endsWith(".parquet") &&
+            !referenced.contains(relPath)) {
+          Files.delete(p); deleted += 1
+        } else if (Files.isDirectory(p) && p != dataDir) {
+          val ls = Files.list(p)
+          val empty = try !ls.iterator().hasNext finally ls.close()
+          if (empty) Files.delete(p)
+        }
+      } finally walk.close()
+    }
+    (drop.size, deleted)
   }
 
   /** Salted, deduped, bucketed write in ONE shuffle: key-salt (a function

@@ -92,6 +92,32 @@ object Changelog {
     spark.sql(sparkChangelogSql)
   }
 
+  /** Cell-level change shaping — the reference's multi-version CDC mode
+    * (`otsstreamreader/.../MultiVerModeRecordSender.java:41-65`: one output
+    * row per changed cell, `op_type ∈ {U, DR}`): I/U events explode into one
+    * row per non-null string payload column; D events emit a single
+    * delete-row marker with null column. A pure narrow transform
+    * (`explode` — no shuffle), so it composes with any downstream sink.
+    */
+  def cellChanges(ch: DataFrame): DataFrame = {
+    val cellCols = Seq("role", "text", "tool")
+    val cells = array(cellCols.map(c =>
+      struct(lit(c).as("column_name"), col(c).as("value"))): _*)
+    val upserts = ch.filter(col("op") =!= "D")
+      .select(col("conv_id"), col("turn_idx"), explode(cells).as("cell"),
+        col("event_ts"), col("seq"))
+      .filter(col("cell.value").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        col("cell.column_name").as("column_name"), col("cell.value").as("value"),
+        lit("U").as("op_type"), col("event_ts"), col("seq"))
+    val deletes = ch.filter(col("op") === "D")
+      .select(col("conv_id"), col("turn_idx"),
+        lit(null).cast("string").as("column_name"),
+        lit(null).cast("string").as("value"),
+        lit("DR").as("op_type"), col("event_ts"), col("seq"))
+    upserts.unionByName(deletes)
+  }
+
   // ---------------------------------------------------------------- binlog
 
   /** Binlog segment schema = change schema + (shard, seg) partition cols.

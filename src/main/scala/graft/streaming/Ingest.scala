@@ -29,7 +29,28 @@ object Ingest {
       writerId: String,
       buckets: Int = 32,
       opts: Icelite.Options = Icelite.Options(),
-      maxFilesPerTrigger: Int = 8)
+      maxFilesPerTrigger: Int = 8,
+      /** route malformed change rows here instead of failing the batch —
+        * the reference's dirty-record collector (F8, `core/.../statistics/
+        * plugin/task/StdoutPluginCollector.java:21-60`). None = gate off. */
+      deadLetterDir: Option[String] = None,
+      /** fail the batch if dirty/total exceeds this ratio — the error-limit
+        * gate (F9, `core/.../util/ErrorRecordChecker.java:18-81`). */
+      errorPctLimit: Double = 1.0,
+      /** mirror per-batch StreamingQueryProgress JSON here (metrics). */
+      metricsDir: Option[String] = None)
+
+  class ErrorLimitExceeded(val dirty: Long, val total: Long, limit: Double)
+    extends RuntimeException(
+      f"dirty records $dirty/$total = ${dirty.toDouble / total}%.4f over limit $limit%.4f")
+
+  /** A change row the merge cannot key or order — dirty by the same
+    * definition the reference uses (unparseable / missing required fields,
+    * `TransformerExchanger.java:110-120`). */
+  def dirtyCond: org.apache.spark.sql.Column =
+    col("op").isNull || !col("op").isin("I", "U", "D") ||
+      col("conv_id").isNull || col("turn_idx").isNull ||
+      col("event_ts").isNull || col("seq").isNull
 
   /** Columns of the batch that are not part of the change event. */
   private val sourceMeta = Seq("shard", "seg")
@@ -50,30 +71,54 @@ object Ingest {
     * its seq range, plus rows/s — the reference's per-channel speed report
     * (`TaskGroupContainer.java:253-266`) as a queryable table.
     */
-  def applyBatch(spark: SparkSession, cfg: Config, batch: DataFrame, batchId: Long): Icelite.MergeStats = {
-    val table = ensureTable(spark, cfg, batch)
-    val hasShard = batch.columns.contains("shard")
-    // per-shard offset ranges (cheap partial agg) BEFORE dropping source meta
-    val shardStats =
-      if (hasShard)
-        batch.groupBy(col("shard")).agg(
-          count(lit(1)).as("rows"),
-          min(col("seq")).as("start_seq"),
-          max(col("seq")).as("end_seq")).collect()
-      else Array.empty[org.apache.spark.sql.Row]
-    val stats = table.merge(batch.drop(sourceMeta: _*), batchId, cfg.writerId, cfg.opts)
-    if (!stats.skipped) {
-      import spark.implicits._
-      val rows =
-        if (shardStats.nonEmpty)
-          shardStats.toSeq.map(r => LineageRow(batchId, r.getInt(0), r.getLong(1),
-            r.getLong(2), r.getLong(3), stats.snapshotId, stats.wallMs))
-        else Seq(LineageRow(batchId, -1, stats.inputRows, -1L, -1L,
-          stats.snapshotId, stats.wallMs))
-      spark.createDataset(rows).write.mode("append")
-        .parquet(s"${cfg.tablePath}/_lineage")
-    }
-    stats
+  def applyBatch(spark: SparkSession, cfg: Config, batchIn: DataFrame, batchId: Long): Icelite.MergeStats = {
+    // Cache the micro-batch once: the gate, the shard-stats aggregate and
+    // the merge each run an action over it — without this every action
+    // re-scans the source files (at 10^10 events, 2-3× the input IO).
+    val src = batchIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // dirty-record gate: split off malformed rows BEFORE the merge; one
+      // counting aggregate only when the gate is configured (hot path free)
+      val batch = cfg.deadLetterDir match {
+        case None => src
+        case Some(dl) =>
+          val flagged = src.withColumn("_dirty", dirtyCond)
+          val Array(total, dirty) = flagged.agg(
+            count(lit(1)), count_if(col("_dirty"))).head().toSeq
+            .map(v => v.asInstanceOf[Long]).toArray
+          if (dirty > 0) {
+            flagged.filter(col("_dirty")).drop("_dirty")
+              .withColumn("_batch_id", lit(batchId))
+              .write.mode("append").parquet(dl)
+            if (total > 0 && dirty.toDouble / total > cfg.errorPctLimit)
+              throw new ErrorLimitExceeded(dirty, total, cfg.errorPctLimit)
+          }
+          flagged.filter(!col("_dirty")).drop("_dirty")
+      }
+      val table = ensureTable(spark, cfg, batch)
+      val hasShard = batch.columns.contains("shard")
+      // per-shard offset ranges (cheap partial agg) BEFORE dropping source meta
+      val shardStats =
+        if (hasShard)
+          batch.groupBy(col("shard")).agg(
+            count(lit(1)).as("rows"),
+            min(col("seq")).as("start_seq"),
+            max(col("seq")).as("end_seq")).collect()
+        else Array.empty[org.apache.spark.sql.Row]
+      val stats = table.merge(batch.drop(sourceMeta: _*), batchId, cfg.writerId, cfg.opts)
+      if (!stats.skipped) {
+        import spark.implicits._
+        val rows =
+          if (shardStats.nonEmpty)
+            shardStats.toSeq.map(r => LineageRow(batchId, r.getInt(0), r.getLong(1),
+              r.getLong(2), r.getLong(3), stats.snapshotId, stats.wallMs))
+          else Seq(LineageRow(batchId, -1, stats.inputRows, -1L, -1L,
+            stats.snapshotId, stats.wallMs))
+        spark.createDataset(rows).write.mode("append")
+          .parquet(s"${cfg.tablePath}/_lineage")
+      }
+      stats
+    } finally src.unpersist()
   }
 
   case class LineageRow(batch_id: Long, shard: Int, rows: Long,
@@ -92,15 +137,22 @@ object Ingest {
     * semantics by re-running — checkpoint makes it resumable/exactly-once.
     */
   def runStream(spark: SparkSession, cfg: Config, binlogDir: String): Unit = {
-    val src = Changelog.binlogStream(spark, binlogDir, cfg.maxFilesPerTrigger)
-    val q = src.writeStream
-      .queryName(s"graft-ingest-${cfg.writerId}")
-      .option("checkpointLocation", cfg.checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (df: DataFrame, id: Long) =>
-        applyBatch(spark, cfg, df, id); ()
-      }
-      .start()
-    q.awaitTermination()
+    val name = s"graft-ingest-${cfg.writerId}"
+    val sink = cfg.metricsDir.map { d =>
+      val s = new Metrics.ProgressSink(d, name)
+      spark.streams.addListener(s); s
+    }
+    try {
+      val src = Changelog.binlogStream(spark, binlogDir, cfg.maxFilesPerTrigger)
+      val q = src.writeStream
+        .queryName(name)
+        .option("checkpointLocation", cfg.checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          applyBatch(spark, cfg, df, id); ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally sink.foreach(spark.streams.removeListener)
   }
 }

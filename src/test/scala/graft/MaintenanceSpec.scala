@@ -1,0 +1,161 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Model.ChangeEvent
+import graft.plans.Icelite
+import graft.sources.{Changelog, FileIo}
+import graft.streaming.{Ingest, Metrics}
+
+/** Table maintenance (compaction, snapshot expiry), the dirty-record /
+  * error-limit gate (reference F8/F9), streaming metrics, and file-format
+  * source round-trips (reference S3/W6).
+  */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  private def ev(op: String, conv: String, turn: Int, text: String,
+      eventSec: Long, seq: Long): ChangeEvent =
+    ChangeEvent(op, conv, turn,
+      if (op == "D") null else "user",
+      if (op == "D") null else text,
+      null,
+      if (op == "D") null else ts(eventSec),
+      ts(eventSec), seq)
+
+  private def batchOf(events: ChangeEvent*) = spark.createDataset(events).toDF()
+
+  // ------------------------------------------------------------ maintenance
+
+  test("compactAll folds deltas into base; reads unchanged; expire GCs files") {
+    val root = tmpDir("maint")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 4,
+      opts = Icelite.Options(compactThreshold = 100)) // never auto-compact
+    val batches = (0 until 5).map { b =>
+      batchOf((0 until 20).map(i =>
+        ev(if (i % 7 == 0 && b > 0) "U" else "I", s"c${i % 5}", i,
+          s"t$b-$i", b * 100 + i, b * 1000 + i)): _*)
+    }
+    Ingest.replay(spark, cfg, batches)
+    val table = Icelite.load(spark, cfg.tablePath)
+    val before = table.read().orderBy("conv_id", "turn_idx").collect()
+    assert(table.snapshot().files.count(_.kind == "delta") > 0)
+
+    val sid = table.compactAll()
+    assert(sid === table.snapshot().snapshotId)
+    assert(table.snapshot().files.forall(_.kind == "base"))
+    val after = table.read().orderBy("conv_id", "turn_idx").collect()
+    assert(after.toSeq === before.toSeq)
+    // compacting again is a no-op
+    assert(table.compactAll() === sid)
+
+    // expire everything but the head; orphaned delta files get deleted
+    val (expired, deleted) = table.expireSnapshots(keepLast = 1)
+    assert(expired > 0 && deleted > 0)
+    val after2 = table.read().orderBy("conv_id", "turn_idx").collect()
+    assert(after2.toSeq === before.toSeq)
+    // only referenced parquet files remain on disk
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "t", "data"))
+    val onDisk = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.filter(p => p.toString.endsWith(".parquet")).size
+    } finally walk.close()
+    assert(onDisk === table.snapshot().files.size)
+  }
+
+  // ------------------------------------------------------------ dirty gate
+
+  test("dirty rows route to dead-letter; clean rows merge; limit trips") {
+    val root = tmpDir("dirty")
+    val dl = s"$root/dead"
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
+      deadLetterDir = Some(dl), errorPctLimit = 0.5)
+    val good = Seq(ev("I", "c1", 0, "a", 1, 1), ev("I", "c1", 1, "b", 2, 2))
+    val bad = Seq(
+      ChangeEvent("X", "c9", 0, "u", "t", null, ts(1), ts(1), 50), // bad op
+      ChangeEvent("I", null, 1, "u", "t", null, ts(1), ts(1), 51)) // null key
+    val stats = Ingest.applyBatch(spark, cfg, batchOf(good ++ bad: _*), 0L)
+    assert(stats.inputRows === 2) // only clean rows reached the merge
+    val dead = spark.read.parquet(dl)
+    assert(dead.count() === 2)
+    assert(dead.columns.contains("_batch_id"))
+    val live = Icelite.load(spark, cfg.tablePath).read()
+    assert(live.count() === 2)
+
+    // 3 dirty of 4 > 50% ⇒ gate trips, nothing merged, dead-letter kept
+    val mostlyBad = batchOf(
+      ev("I", "c2", 0, "ok", 3, 60),
+      ChangeEvent("?", "c9", 1, null, null, null, ts(1), ts(1), 61),
+      ChangeEvent("I", "c9", 2, null, null, null, ts(1), null, 62),
+      ChangeEvent(null, "c9", 3, null, null, null, ts(1), ts(1), 63))
+    intercept[Ingest.ErrorLimitExceeded] {
+      Ingest.applyBatch(spark, cfg, mostlyBad, 1L)
+    }
+    assert(Icelite.load(spark, cfg.tablePath).read().count() === 2) // unchanged
+    assert(spark.read.parquet(dl).count() === 5)
+  }
+
+  // ------------------------------------------------------------ metrics
+
+  test("streaming ingest mirrors per-batch progress metrics") {
+    val root = tmpDir("metrics")
+    val binlog = s"$root/binlog"
+    val ch = spark.createDataset((0 until 40).map(i =>
+      ev("I", s"c${i % 4}", i % 10, s"m$i", i, i))).toDF()
+    Changelog.writeBinlog(ch, binlog, shards = 2, segSize = 10)
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
+      maxFilesPerTrigger = 2, metricsDir = Some(s"$root/metrics"))
+    Ingest.runStream(spark, cfg, binlog)
+    val rates = Metrics.rates(spark, s"$root/metrics")
+    assert(rates.count() >= 2) // several micro-batches
+    assert(rates.agg(sum($"rows")).head().getLong(0) === 40L)
+    assert(rates.select("trigger_ms").collect().forall(!_.isNullAt(0)))
+  }
+
+  // ------------------------------------------------------------ file io
+
+  test("CSV and JSONL round-trip with delimiter/header/null/gzip options") {
+    val root = tmpDir("fileio")
+    val df = Seq(
+      (1L, "a,b\t\"quoted\"", Some(1.5), Some(ts(1))),
+      (2L, null, None, None),
+      (3L, "plain", Some(-0.25), Some(ts(909)))).toDF("id", "s", "d", "t")
+    val o = FileIo.TextOptions(delimiter = "\t", header = true, compress = Some("gzip"))
+    FileIo.writeCsv(df, s"$root/csv", o)
+    // files really are gzip
+    val gz = new java.io.File(s"$root/csv").listFiles()
+      .exists(_.getName.endsWith(".csv.gz"))
+    assert(gz)
+    val back = FileIo.readCsv(spark, s"$root/csv", df.schema, o).orderBy("id")
+    assert(back.collect().toSeq === df.orderBy("id").collect().toSeq)
+
+    FileIo.writeJsonl(df, s"$root/jsonl", o)
+    val backJ = FileIo.readJsonl(spark, s"$root/jsonl", df.schema, o).orderBy("id")
+    assert(backJ.collect().toSeq === df.orderBy("id").collect().toSeq)
+
+    // const columns (reference const-value column spec)
+    val withConst = FileIo.readCsv(spark, s"$root/csv", df.schema, o,
+      constCols = Seq("src" -> lit("csv")))
+    assert(withConst.select("src").distinct().head().getString(0) === "csv")
+  }
+
+  // ------------------------------------------------------------ cell shaping
+
+  test("cellChanges explodes I/U into per-cell rows and D into DR markers") {
+    val ch = batchOf(
+      ev("I", "c1", 0, "hello", 1, 1),
+      ev("U", "c1", 0, "world", 2, 2),
+      ev("D", "c1", 0, null, 3, 3))
+    val cells = Changelog.cellChanges(ch).orderBy("seq", "column_name").collect()
+    // I/U rows: role+text+ts-as-cells? — role, text (tool null ⇒ absent)
+    val upserts = cells.filter(_.getString(4) == "U")
+    assert(upserts.map(_.getString(2)).toSet === Set("role", "text"))
+    assert(upserts.length === 4) // 2 events × (role, text)
+    val dr = cells.filter(_.getString(4) == "DR")
+    assert(dr.length === 1 && dr(0).isNullAt(2) && dr(0).isNullAt(3))
+  }
+}

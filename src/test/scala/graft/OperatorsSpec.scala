@@ -138,4 +138,41 @@ class OperatorsSpec extends SparkSpec {
     val ok = r1.count { case (id, p) => bfTop.get(id).exists(_.contains(p)) }
     assert(ok.toDouble / r1.size >= 0.5)
   }
+
+  test("IVF ANN: recall vs brute force; probing more lists helps") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bf = Ann.bruteForceTopK(emb, "vec_id", "embedding", 5)
+      .select("id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int) = {
+      val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", 5, nlist = 8, nProbe = nProbe)
+        .select("id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & ivf).size.toDouble / bf.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8) // probe every list = exhaustive = exact
+    assert(r8 >= 0.999, f"full-probe IVF must be exact, got $r8%.3f")
+    assert(r2 >= 0.2 && r2 <= r8 + 1e-9, f"recall@2=$r2%.2f")
+  }
+
+  test("cosine near-dup pairs: LSH-blocked equals exact on planted dups") {
+    // planted: v1 ≈ v2 (near-identical), v3 orthogonal-ish
+    val base = (0 until 16).map(i => math.sin(i * 0.7).toFloat).toArray
+    val near = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val far = (0 until 16).map(i => math.cos(i * 1.3).toFloat).toArray
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val exact = Ann.cosinePairs(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((1L, 2L)))
+    val lsh = Ann.lshCosinePairs(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact) // near-identical pairs always collide in ≥1 table
+  }
+
+  // ------------------------------------------------------------ bpe tokens
+
+  test("bpeTokens splits letter runs, digit runs, punctuation marks") {
+    val got = Seq("Hello, world42! x-1").toDF("t")
+      .select(TextOps.bpeTokens($"t").as("b")).head().getSeq[String](0)
+    assert(got === Seq("hello", ",", "world", "42", "!", "x", "-", "1"))
+  }
 }
