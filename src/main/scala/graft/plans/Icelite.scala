@@ -93,7 +93,15 @@ object Icelite {
       targetRowsPerTask: Long = 2000000L,
       /** drop tombstones when compacting (only safe once no event older
         * than the delete can still arrive — a watermark decision). */
-      dropTombstonesOnCompact: Boolean = false)
+      dropTombstonesOnCompact: Boolean = false,
+      /** LWW-collapse each delta batch before writing it. Off by default —
+        * true merge-on-read: intra-batch duplicates are rare (an append-
+        * mostly changelog repeats few keys per micro-batch), the read and
+        * compaction paths LWW across generations anyway, and skipping the
+        * collapse removes a full wide-row SortAggregate from every ingest
+        * batch (max_by over a struct can only plan sort-based). Turn on for
+        * update-heavy streams where batches collapse substantially. */
+      dedupDeltaWrites: Boolean = false)
 
   private implicit val fmts: DefaultFormats = DefaultFormats
   private[plans] val BucketCol = "bkt"
@@ -320,8 +328,23 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     * hot ones (read base+deltas of ONLY those buckets, union, LWW, rewrite)
     * → atomic snapshot commit carrying (writerId, batchId).
     */
+  /** Phase timing for perf work: set env GRAFT_MERGE_TIMING=1 to print
+    * per-merge phase durations on stderr. */
+  private val timing = sys.env.get("GRAFT_MERGE_TIMING").contains("1")
+  private def phase[A](tag: String, t0: Long)(f: => A): A = {
+    val s = System.nanoTime(); val a = f
+    if (timing) System.err.println(
+      f"[merge-timing] $tag%-12s ${(System.nanoTime() - s) / 1e9}%7.2fs (t+${(System.nanoTime() - t0) / 1e9}%6.2fs)")
+    a
+  }
+
+  /** @param precomputedStats per-bucket (rows, deletes, minSeq, maxSeq)
+    *   computed by the caller in a fused aggregation (see
+    *   [[graft.streaming.Ingest.applyBatch]]) — skips the merge's own
+    *   stats pass, saving one job + one scan per micro-batch. */
   def merge(batchIn: DataFrame, batchId: Long, writerId: String,
-      opts: Options = Options()): MergeStats = {
+      opts: Options = Options(),
+      precomputedStats: Option[Map[Int, (Long, Long, Long, Long)]] = None): MergeStats = {
     val t0 = System.nanoTime()
     val snap = snapshot()
     if (writerId == snap.writerId && batchId <= snap.lastBatchId)
@@ -343,28 +366,26 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     // Normalize to table row shape (LWW dedup happens fused into each
     // bucketed write — [[Lww.latestBucketed]]: ONE shuffle moves the rows
     // to their write buckets AND collapses duplicates, instead of a
-    // dedup shuffle followed by a repartition shuffle). Cached: feeds the
-    // stats aggregate plus one or two writes — without the cache every
-    // action re-scans the source (at 10^10 events that triples input IO).
+    // dedup shuffle followed by a repartition shuffle).
     val norm = align(
       batchIn
         .withColumn("_event_ts", col("event_ts"))
         .withColumn("_seq", col("seq"))
         .withColumn("_deleted", col("op") === lit("D")),
       newFull)
-    val withB = norm.withColumn(BucketCol, pmod(hash(col("conv_id")), lit(snap.buckets)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withBRaw = norm.withColumn(BucketCol, pmod(hash(col("conv_id")), lit(snap.buckets)))
 
     // one small aggregate: per-bucket row counts + seq ranges + delete counts
-    val stats = withB.groupBy(col(BucketCol)).agg(
-      count(lit(1)).as("n"),
-      sum(col("_deleted").cast("long")).as("d"),
-      min(col("_seq")).as("lo"),
-      max(col("_seq")).as("hi")).collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val stats = precomputedStats.getOrElse(phase("stats-agg", t0) {
+      withBRaw.groupBy(col(BucketCol)).agg(
+        count(lit(1)).as("n"),
+        sum(col("_deleted").cast("long")).as("d"),
+        min(col("_seq")).as("lo"),
+        max(col("_seq")).as("hi")).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    })
 
     if (stats.isEmpty) { // empty batch: metadata-only commit advances the gate
-      withB.unpersist()
       val next = snap.copy(snapshotId = snap.snapshotId + 1, parentId = snap.snapshotId,
         writerId = writerId, lastBatchId = batchId, schemas = schemas,
         currentSchemaId = schemaId, committedAtMs = System.currentTimeMillis())
@@ -383,20 +404,44 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     val nextId = snap.snapshotId + 1
     var newFiles = List.empty[DataFileMeta]
 
+    // Cache the normalized batch only when BOTH a delta and a compact write
+    // will scan it; the common path (delta-only with precomputed stats) has
+    // a single consumer, and building a columnar cache for one read costs
+    // more memory bandwidth than the read saves.
+    val bothWrites = deltaSet.nonEmpty && compactSet.nonEmpty
+    val withB =
+      if (bothWrites)
+        withBRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else withBRaw
+
     // salt slots per bucket from the stats we already collected — no
-    // second counting pass over the data
+    // second counting pass over the data. The effective per-task target
+    // adapts downward for small batches: a "hot" bucket is one that would
+    // serialize a meaningful fraction of the batch behind a single task,
+    // which at high parallelism happens far below the absolute cap.
+    val totalRows = stats.values.map(_._1).sum
+    val adaptiveTarget = math.min(opts.targetRowsPerTask,
+      math.max(totalRows / (2L * spark.sparkContext.defaultParallelism), 50000L))
+    def slotsFor(n: Long): Int =
+      math.max(1, math.ceil(n.toDouble / adaptiveTarget).toInt)
     val batchSlots: Map[Int, Int] = stats.map { case (b, (n, _, _, _)) =>
-      b -> math.max(1, math.ceil(n.toDouble / opts.targetRowsPerTask).toInt)
+      b -> slotsFor(n)
     }
 
+    // unique staging suffix: a crashed writer's abandoned `d-<id>` dir must
+    // never collide with (and leak files into) a later commit that reuses
+    // the same snapshot id
+    val stage = java.util.UUID.randomUUID().toString.take(8)
     if (deltaSet.nonEmpty) {
-      val rel = s"data/d-$nextId"
+      val rel = s"data/d-$nextId-$stage"
       val part = withB.filter(col(BucketCol).isInCollection(deltaSet))
-      writeBucketed(part, s"$root/$rel", batchSlots)
-      newFiles ++= listStaged(rel, "delta", schemaId, stats)
+      phase("delta-write", t0) {
+        writeBucketed(part, s"$root/$rel", batchSlots, dedup = opts.dedupDeltaWrites)
+      }
+      newFiles ++= phase("delta-list", t0) { listStaged(rel, "delta", schemaId, stats) }
     }
     if (compactSet.nonEmpty) {
-      val rel = s"data/b-$nextId"
+      val rel = s"data/b-$nextId-$stage"
       val oldFiles = snap.files.filter(f => compactSet.contains(f.bucket))
       val old = if (oldFiles.isEmpty) None else Some(
         oldFiles.groupBy(_.schemaId).map { case (sid, fs) =>
@@ -412,13 +457,15 @@ class IceliteTable(val spark: SparkSession, val root: String) {
         .groupBy(_.bucket).map { case (b, fs) => b -> fs.map(f => math.max(f.rows, 0L)).sum }
       val compactSlots = compactSet.map { b =>
         val n = oldRows.getOrElse(b, 0L) + stats.get(b).map(_._1).getOrElse(0L)
-        b -> math.max(1, math.ceil(n.toDouble / opts.targetRowsPerTask).toInt)
+        b -> slotsFor(n)
       }.toMap
-      writeBucketed(combined, s"$root/$rel", compactSlots,
-        dropTombstones = opts.dropTombstonesOnCompact)
-      newFiles ++= listStaged(rel, "base", schemaId, stats)
+      phase("compact-write", t0) {
+        writeBucketed(combined, s"$root/$rel", compactSlots,
+          dropTombstones = opts.dropTombstonesOnCompact)
+      }
+      newFiles ++= phase("compact-list", t0) { listStaged(rel, "base", schemaId, stats) }
     }
-    withB.unpersist()
+    if (bothWrites) withB.unpersist()
 
     val kept = snap.files.filterNot(f => compactSet.contains(f.bucket))
     val nRows = stats.values.map(_._1).sum
@@ -449,7 +496,7 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     if (compactSet.isEmpty) return snap.snapshotId
     val full = schemaFor(snap, snap.currentSchemaId)
     val nextId = snap.snapshotId + 1
-    val rel = s"data/b-$nextId"
+    val rel = s"data/b-$nextId-${java.util.UUID.randomUUID().toString.take(8)}"
     val oldFiles = snap.files.filter(f => compactSet.contains(f.bucket))
     val df = oldFiles.groupBy(_.schemaId).map { case (sid, fs) =>
       align(spark.read.schema(schemaFor(snap, sid))
@@ -521,27 +568,48 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     * exchange; `partitionBy(bkt)` lays files per bucket. Slot counts come
     * from the merge's own bucket stats — no extra counting job. */
   private def writeBucketed(df: DataFrame, absDir: String, slots: Map[Int, Int],
-      dropTombstones: Boolean = false): Unit = {
+      dropTombstones: Boolean = false, dedup: Boolean = true): Unit = {
     val hot = slots.filter(_._2 > 1)
+    // IMPORTANT: the salt must stay a non-foldable expression even in the
+    // no-hot-bucket case. A literal 0 constant-folds out of the grouping,
+    // the aggregate's required distribution no longer matches the
+    // repartition's (bucket, salt) hash partitioning, and Spark inserts a
+    // SECOND exchange keyed on (bucket, salt, key) — which spreads every
+    // bucket over every task and makes partitionBy(bkt) emit
+    // tasks × buckets files per write (measured: 2048 instead of 64).
     val saltExpr =
-      if (hot.isEmpty) lit(0)
+      if (hot.isEmpty)
+        pmod(xxhash64(Model.keyCols.map(col): _*), lit(1L)).cast("int") // ≡ 0, non-foldable
       else {
         val slotMap = map(hot.toSeq.flatMap { case (b, s) => Seq(lit(b), lit(s)) }: _*)
         pmod(xxhash64(Model.keyCols.map(col): _*),
           coalesce(element_at(slotMap, col(BucketCol)), lit(1))).cast("int")
       }
-    val deduped = Lww.latestBucketed(df.withColumn("_ksalt", saltExpr),
-      Model.keyCols, Seq("_event_ts", "_seq"), BucketCol, "_ksalt")
+    val salted = df.withColumn("_ksalt", saltExpr)
+    // max_by(struct) agg measured ~1.2-1.5× faster than the sort+window
+    // formulation at 10^7 events on both 8 and 32 cores
+    val deduped =
+      if (!dedup)
+        salted.repartition(col(BucketCol), col("_ksalt"))
+      else if (sys.env.get("GRAFT_LWW_IMPL").contains("sort"))
+        Lww.latestBucketedSorted(salted, Model.keyCols, Seq("_event_ts", "_seq"),
+          BucketCol, "_ksalt")
+      else
+        Lww.latestBucketed(salted, Model.keyCols, Seq("_event_ts", "_seq"),
+          BucketCol, "_ksalt")
     val out = if (dropTombstones) deduped.filter(!col("_deleted")) else deduped
     out.drop("_ksalt")
       .write.partitionBy(BucketCol).parquet(absDir)
   }
 
-  /** Enumerate files under a staged write dir into manifest entries. */
+  /** Enumerate files under a staged write dir into manifest entries.
+    * Footer row counts are read with a small thread pool — a sequential
+    * loop costs ~25 ms/file of driver wall time, which at hundreds of
+    * files per commit dominates the merge. */
   private def listStaged(relDir: String, kind: String, schemaId: Int,
       stats: Map[Int, (Long, Long, Long, Long)]): List[DataFileMeta] = {
     val base = Paths.get(root, relDir)
-    val out = scala.collection.mutable.ListBuffer.empty[DataFileMeta]
+    val staged = scala.collection.mutable.ListBuffer.empty[(String, Int, Long, Long)]
     val dirs = Files.list(base)
     try {
       dirs.iterator().forEachRemaining { d =>
@@ -552,14 +620,24 @@ class IceliteTable(val spark: SparkSession, val root: String) {
           val fs = Files.list(d)
           try fs.iterator().forEachRemaining { f =>
             val fn = f.getFileName.toString
-            if (fn.endsWith(".parquet"))
-              out += DataFileMeta(s"$relDir/$name/$fn", b, kind,
-                parquetRowCount(f.toString), schemaId, lo, hi)
+            if (fn.endsWith(".parquet")) staged += ((s"$relDir/$name/$fn", b, lo, hi))
           } finally fs.close()
         }
       }
     } finally dirs.close()
-    out.toList
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(staged.size, 1)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = staged.toList.map { case (path, b, lo, hi) =>
+        scala.concurrent.Future(
+          DataFileMeta(path, b, kind, parquetRowCount(s"$root/$path"), schemaId, lo, hi))
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(10, "min"))
+    } finally pool.shutdown()
   }
 
   private def parquetRowCount(path: String): Long =

@@ -92,6 +92,14 @@ object Changelog {
     spark.sql(sparkChangelogSql)
   }
 
+  /** Single-version / upsert-only CDC shaping (reference S9,
+    * `otsstreamreader/.../SingleVerAndUpOnlyModeRecordSender.java:14-60`):
+    * one row per PUT/UPDATE, deletes dropped. Our engine deliberately does
+    * NOT use this mode on the merge path — the north rule requires deletes
+    * applied — but exposes it for consumers that only materialize live
+    * upserts (e.g. search-index feeds). */
+  def upsertOnly(ch: DataFrame): DataFrame = ch.filter(col("op") =!= "D")
+
   /** Cell-level change shaping — the reference's multi-version CDC mode
     * (`otsstreamreader/.../MultiVerModeRecordSender.java:41-65`: one output
     * row per changed cell, `op_type ∈ {U, DR}`): I/U events explode into one

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -36,13 +36,24 @@ object FileIo {
       /** micro-precision so parquet timestamps round-trip exactly */
       timestampFormat: String = "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
+  /** Reference write modes (`hdfswriter/.../HdfsWriter.java:82-90`,
+    * `txtfilewriter/.../TxtFileWriter.java:94-192`): truncate = clean then
+    * write, append = add files, nonConflict = fail if the target exists. */
+  def saveMode(writeMode: String): SaveMode = writeMode match {
+    case "truncate"    => SaveMode.Overwrite
+    case "append"      => SaveMode.Append
+    case "nonConflict" => SaveMode.ErrorIfExists
+    case other => throw new IllegalArgumentException(s"writeMode: $other")
+  }
+
   private def csvCommon(o: TextOptions): Map[String, String] = Map(
     "sep" -> o.delimiter,
     "header" -> o.header.toString,
     "nullValue" -> o.nullFormat,
     "encoding" -> o.encoding)
 
-  def writeCsv(df: DataFrame, path: String, o: TextOptions = TextOptions()): Unit =
+  def writeCsv(df: DataFrame, path: String, o: TextOptions = TextOptions(),
+      writeMode: String = "truncate"): Unit =
     df.write.options(csvCommon(o))
       // write full microseconds (both tz'd and NTZ timestamps); reads use
       // Spark's lenient ISO parser (an explicit read-side pattern would
@@ -50,7 +61,7 @@ object FileIo {
       .option("timestampFormat", o.timestampFormat)
       .option("timestampNTZFormat", o.timestampFormat)
       .option("compression", o.compress.getOrElse("none"))
-      .mode("overwrite").csv(path)
+      .mode(saveMode(writeMode)).csv(path)
 
   /** Schema-d CSV scan. `constCols` replicates the reference's constant
     * `{value: ...}` column specs (`UnstructuredStorageReaderUtil.java:
@@ -67,17 +78,28 @@ object FileIo {
     constCols.foldLeft(base) { case (df, (name, c)) => df.withColumn(name, c) }
   }
 
-  def writeJsonl(df: DataFrame, path: String, o: TextOptions = TextOptions()): Unit =
+  def writeJsonl(df: DataFrame, path: String, o: TextOptions = TextOptions(),
+      writeMode: String = "truncate"): Unit =
     df.write
       // micros on write; read side uses the lenient ISO parser (see writeCsv)
       .option("timestampFormat", o.timestampFormat)
       .option("timestampNTZFormat", o.timestampFormat)
       .option("compression", o.compress.getOrElse("none"))
-      .mode("overwrite").json(path)
+      .mode(saveMode(writeMode)).json(path)
 
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
       o: TextOptions = TextOptions()): DataFrame =
     spark.read
       .option("mode", "DROPMALFORMED")
       .schema(schema).json(path)
+
+  /** Columnar warehouse-file formats (reference S4/W5: hdfsreader/hdfswriter
+    * ORC path, `hdfsreader/.../HdfsReader.java:80-86`). Parquet is the
+    * engine's native format; ORC round-trips through Spark's vectorized
+    * ORC source. */
+  def writeOrc(df: DataFrame, path: String, writeMode: String = "truncate"): Unit =
+    df.write.mode(saveMode(writeMode)).orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

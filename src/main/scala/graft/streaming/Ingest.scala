@@ -38,7 +38,12 @@ object Ingest {
         * gate (F9, `core/.../util/ErrorRecordChecker.java:18-81`). */
       errorPctLimit: Double = 1.0,
       /** mirror per-batch StreamingQueryProgress JSON here (metrics). */
-      metricsDir: Option[String] = None)
+      metricsDir: Option[String] = None,
+      /** run once before/after the job — the reference's pre/post handlers
+        * and preSql/postSql (F12 `JobContainer.preHandle/postHandle`,
+        * W4 `CommonRdbmsWriter.java:97-137`): e.g. `s => s.sql(...)`. */
+      preHook: Option[SparkSession => Unit] = None,
+      postHook: Option[SparkSession => Unit] = None)
 
   class ErrorLimitExceeded(val dirty: Long, val total: Long, limit: Double)
     extends RuntimeException(
@@ -97,25 +102,50 @@ object Ingest {
       }
       val table = ensureTable(spark, cfg, batch)
       val hasShard = batch.columns.contains("shard")
-      // per-shard offset ranges (cheap partial agg) BEFORE dropping source meta
-      val shardStats =
+      // ONE fused aggregation computes both the per-shard offset ranges
+      // (lineage) and the per-bucket stats the merge needs (salt slots,
+      // compaction choice, manifest seq ranges): group by (shard, bucket),
+      // collect the tiny cross product, roll both views up on the driver.
+      val buckets = table.snapshot().buckets
+      val bexpr = pmod(hash(col("conv_id")), lit(buckets)).as("_b")
+      val groupCols = (if (hasShard) Seq(col("shard")) else Seq(lit(-1).as("shard"))) :+ bexpr
+      val fused = batch.groupBy(groupCols: _*).agg(
+        count(lit(1)).as("n"),
+        count_if(col("op") === lit("D")).as("d"),
+        min(col("seq")).as("lo"),
+        max(col("seq")).as("hi")).collect()
+      val bucketStats: Map[Int, (Long, Long, Long, Long)] = fused
+        .groupBy(_.getInt(1)).map { case (b, rs) =>
+          b -> ((rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).sum,
+            rs.map(_.getLong(4)).min, rs.map(_.getLong(5)).max))
+        }
+      val shardStats: Seq[(Int, Long, Long, Long)] =
         if (hasShard)
-          batch.groupBy(col("shard")).agg(
-            count(lit(1)).as("rows"),
-            min(col("seq")).as("start_seq"),
-            max(col("seq")).as("end_seq")).collect()
-        else Array.empty[org.apache.spark.sql.Row]
-      val stats = table.merge(batch.drop(sourceMeta: _*), batchId, cfg.writerId, cfg.opts)
+          fused.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (s, rs) =>
+            (s, rs.map(_.getLong(2)).sum, rs.map(_.getLong(4)).min, rs.map(_.getLong(5)).max)
+          }
+        else Seq.empty
+      val stats = table.merge(batch.drop(sourceMeta: _*), batchId, cfg.writerId, cfg.opts,
+        precomputedStats = Some(bucketStats))
       if (!stats.skipped) {
-        import spark.implicits._
         val rows =
           if (shardStats.nonEmpty)
-            shardStats.toSeq.map(r => LineageRow(batchId, r.getInt(0), r.getLong(1),
-              r.getLong(2), r.getLong(3), stats.snapshotId, stats.wallMs))
+            shardStats.map { case (s, n, lo, hi) =>
+              LineageRow(batchId, s, n, lo, hi, stats.snapshotId, stats.wallMs)
+            }
           else Seq(LineageRow(batchId, -1, stats.inputRows, -1L, -1L,
             stats.snapshotId, stats.wallMs))
-        spark.createDataset(rows).write.mode("append")
-          .parquet(s"${cfg.tablePath}/_lineage")
+        // driver-side JSONL append: lineage is a handful of rows per batch,
+        // and a Spark parquet job just to persist them costs a whole
+        // fixed-overhead job per micro-batch (visible in scaling runs)
+        val dir = java.nio.file.Paths.get(cfg.tablePath, "_lineage")
+        java.nio.file.Files.createDirectories(dir)
+        val json = rows.map(r =>
+          s"""{"batch_id":${r.batch_id},"shard":${r.shard},"rows":${r.rows},""" +
+          s""""start_seq":${r.start_seq},"end_seq":${r.end_seq},""" +
+          s""""snapshot_id":${r.snapshot_id},"wall_ms":${r.wall_ms}}""").mkString("", "\n", "\n")
+        java.nio.file.Files.writeString(
+          dir.resolve(f"batch-$batchId%09d-${stats.snapshotId}%09d.jsonl"), json)
       }
       stats
     } finally src.unpersist()
@@ -126,17 +156,25 @@ object Ingest {
 
   /** Read the lineage/metrics table. */
   def lineage(spark: SparkSession, cfg: Config): DataFrame =
-    spark.read.parquet(s"${cfg.tablePath}/_lineage")
+    spark.read.schema(
+      "batch_id LONG, shard INT, rows LONG, start_seq LONG, end_seq LONG, " +
+        "snapshot_id LONG, wall_ms LONG")
+      .json(s"${cfg.tablePath}/_lineage")
 
   /** Batch-mode replay: apply pre-split batches sequentially. */
-  def replay(spark: SparkSession, cfg: Config, batches: Seq[DataFrame]): Seq[Icelite.MergeStats] =
-    batches.zipWithIndex.map { case (b, i) => applyBatch(spark, cfg, b, i.toLong) }
+  def replay(spark: SparkSession, cfg: Config, batches: Seq[DataFrame]): Seq[Icelite.MergeStats] = {
+    cfg.preHook.foreach(_(spark))
+    val stats = batches.zipWithIndex.map { case (b, i) => applyBatch(spark, cfg, b, i.toLong) }
+    cfg.postHook.foreach(_(spark))
+    stats
+  }
 
   /** Streaming ingest over a binlog dir; Trigger.AvailableNow drains what
     * exists then stops (used by tests/verify); pass `continuous = true`
     * semantics by re-running — checkpoint makes it resumable/exactly-once.
     */
   def runStream(spark: SparkSession, cfg: Config, binlogDir: String): Unit = {
+    cfg.preHook.foreach(_(spark))
     val name = s"graft-ingest-${cfg.writerId}"
     val sink = cfg.metricsDir.map { d =>
       val s = new Metrics.ProgressSink(d, name)
@@ -153,6 +191,7 @@ object Ingest {
         }
         .start()
       q.awaitTermination()
+      cfg.postHook.foreach(_(spark))
     } finally sink.foreach(spark.streams.removeListener)
   }
 }

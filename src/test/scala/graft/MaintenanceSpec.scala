@@ -67,6 +67,35 @@ class MaintenanceSpec extends SparkSpec {
     assert(onDisk === table.snapshot().files.size)
   }
 
+  test("crash between data write and commit leaves invisible orphans; GC removes them") {
+    val root = tmpDir("crash")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2)
+    Ingest.applyBatch(spark, cfg,
+      batchOf(ev("I", "c1", 0, "a", 1, 1), ev("I", "c2", 0, "b", 2, 2)), 0L)
+    val table = Icelite.load(spark, cfg.tablePath)
+    val before = table.read().orderBy("conv_id", "turn_idx").collect()
+    val sid = table.snapshot().snapshotId
+
+    // simulate a writer that crashed after staging data but before the
+    // atomic metadata link: orphan data dir + tmp metadata file
+    val orphanDir = java.nio.file.Paths.get(cfg.tablePath, "data", s"d-${sid + 1}", "bkt=0")
+    java.nio.file.Files.createDirectories(orphanDir)
+    java.nio.file.Files.writeString(orphanDir.resolve("part-orphan.parquet"), "not parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(cfg.tablePath, "_icelite", s".tmp-${sid + 1}-dead"), "{}")
+
+    // reads plan from the manifest, so the orphan is invisible
+    assert(table.read().orderBy("conv_id", "turn_idx").collect().toSeq === before.toSeq)
+    // the table recovers: next merge commits fine (snapshot id advances past
+    // the orphan generation), and snapshot expiry deletes the orphan file
+    val st = Ingest.applyBatch(spark, cfg, batchOf(ev("I", "c3", 0, "c", 3, 3)), 1L)
+    assert(st.snapshotId === sid + 1)
+    val (_, deleted) = table.expireSnapshots(keepLast = 1)
+    assert(deleted >= 1)
+    assert(!java.nio.file.Files.exists(orphanDir.resolve("part-orphan.parquet")))
+    assert(table.read().count() === 3)
+  }
+
   // ------------------------------------------------------------ dirty gate
 
   test("dirty rows route to dead-letter; clean rows merge; limit trips") {

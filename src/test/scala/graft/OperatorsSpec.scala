@@ -139,6 +139,15 @@ class OperatorsSpec extends SparkSpec {
     assert(ok.toDouble / r1.size >= 0.5)
   }
 
+  test("broadcast kNN fast path equals the declarative brute force exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val slow = Ann.bruteForceTopK(emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val fast = Ann.bruteForceTopKFast(emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fast === slow)
+  }
+
   test("IVF ANN: recall vs brute force; probing more lists helps") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bf = Ann.bruteForceTopK(emb, "vec_id", "embedding", 5)

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{FileIo, KafkaShape, RangeSplit}
+import graft.tools.Masking
+
+/** splitPk range math, Kafka value shaping, write modes, masking, and the
+  * dx_groovy-analogue typed-lambda transform surface.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ range split
+
+  test("longRanges cover [min,max] exactly, contiguously, in order") {
+    for ((min, max, n) <- Seq((0L, 99L, 4), (-50L, 49L, 7), (5L, 5L, 3), (0L, 2L, 10))) {
+      val r = RangeSplit.longRanges(min, max, n)
+      assert(r.head._1 === min)
+      assert(r.last._2 === max)
+      r.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi === lo2)
+        case _ =>
+      }
+      assert(r.size === math.min(n, max - min + 1))
+      // every value falls in exactly one [lo, hi) range (last inclusive)
+      val covered = (min to max).count { v =>
+        r.init.count { case (lo, hi) => v >= lo && v < hi } +
+          (if (v >= r.last._1 && v <= r.last._2) 1 else 0) == 1
+      }
+      assert(covered === (max - min + 1))
+    }
+  }
+
+  test("stringRanges split lexicographically and cover the endpoints") {
+    val r = RangeSplit.stringRanges("aaa", "zzz", 8)
+    assert(r.size === 8)
+    assert(r.head._1 === "aaa" && r.last._2 === "zzz")
+    r.foreach { case (lo, hi) => assert(lo <= hi, s"$lo > $hi") }
+    r.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi === lo2)
+      case _ =>
+    }
+  }
+
+  test("predicates render range slices plus the IS NULL slice") {
+    val p = RangeSplit.predicates("pk", RangeSplit.longRanges(0, 9, 2))
+    assert(p === Seq(
+      "pk >= 0 AND pk < 5",
+      "pk >= 5 AND pk <= 9",
+      "pk IS NULL"))
+    // string pks quote
+    val sp = RangeSplit.predicates("k", Seq(("a", "m"), ("m", "z")),
+      (s: String) => s"'$s'")
+    assert(sp.head === "k >= 'a' AND k < 'm'" && sp.contains("k IS NULL"))
+  }
+
+  // ------------------------------------------------------------ kafka shape
+
+  test("kafka value parsing: json, split, regex, writerOrder, synthetic") {
+    val vals = Seq("""{"a": 1, "b": "x"}""", """{"a": 2}""", "not json").toDF("value")
+    val j = KafkaShape.parseJson(vals, "value", Seq("a" -> "$.a", "b" -> "$.b"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))))
+    assert(j(0) === (Some("1"), Some("x")))
+    assert(j(1) === (Some("2"), None))
+    assert(j(2) === (None, None)) // malformed → nulls, not an abort
+
+    val s = KafkaShape.parseSplit(Seq("a|b|c", "x|y").toDF("value"), "value", "|",
+      Seq("c1", "c2", "c3")).collect()
+    assert(s(0).toSeq === Seq("a", "b", "c"))
+    assert(s(1).toSeq === Seq("x", "y", null))
+
+    val r = KafkaShape.parseRegex(Seq("id=42;u=bob").toDF("value"), "value",
+      "id=(\\d+);u=(\\w+)", Seq("id", "u")).head()
+    assert(r.toSeq === Seq("42", "bob"))
+
+    val ordered = KafkaShape.writerOrder(
+      Seq((1, "a")).toDF("x", "y"), Seq("y", "missing", "x"))
+    assert(ordered.columns.toSeq === Seq("y", "missing", "x"))
+    assert(ordered.head().isNullAt(1))
+
+    val syn = KafkaShape.withSynthetic(Seq("v").toDF("value"), "kafka-topic-1")
+    assert(syn.columns.toSet === Set("value", "uuid", "datax_time", "data_from"))
+    assert(syn.select("data_from").head().getString(0) === "kafka-topic-1")
+  }
+
+  // ------------------------------------------------------------ write modes
+
+  test("writeMode truncate/append/nonConflict semantics") {
+    val root = tmpDir("modes")
+    val df = Seq(1, 2).toDF("n")
+    FileIo.writeOrc(df, s"$root/t", "truncate")
+    FileIo.writeOrc(df, s"$root/t", "append")
+    assert(FileIo.readOrc(spark, s"$root/t", df.schema).count() === 4)
+    FileIo.writeOrc(df, s"$root/t", "truncate")
+    assert(FileIo.readOrc(spark, s"$root/t", df.schema).count() === 2)
+    intercept[Exception] { FileIo.writeOrc(df, s"$root/t", "nonConflict") }
+    intercept[IllegalArgumentException] { FileIo.writeOrc(df, s"$root/t", "bogus") }
+  }
+
+  // ------------------------------------------------------------ masking
+
+  test("credential-shaped config keys are masked") {
+    val masked = Masking.mask(Map(
+      "jdbc.password" -> "hunter2", "aliyun.accessKey" -> "AK", "user" -> "bob",
+      "apiToken" -> "t", "clientSecret" -> "s"))
+    assert(masked("jdbc.password") === "*****")
+    assert(masked("aliyun.accessKey") === "*****")
+    assert(masked("apiToken") === "*****")
+    assert(masked("clientSecret") === "*****")
+    assert(masked("user") === "bob")
+  }
+
+  // ------------------------------------------------------------ dx_groovy analogue
+
+  test("arbitrary row transform = typed flatMap (set columns / filter by None)") {
+    // the reference's dx_groovy can rewrite any column or return null to
+    // drop the record (GroovyTransformer.java:17-95); the Spark-first
+    // equivalent is a typed Dataset lambda — JIT'd Scala, no script engine
+    import SourcesSpec.Rec
+    val ds = Seq(Rec(1, "keep me"), Rec(2, "drop"), Rec(3, "keep too")).toDS()
+    val out = ds.flatMap { r =>
+      if (r.text.startsWith("drop")) None
+      else Some(r.copy(text = r.text.toUpperCase))
+    }.collect().sortBy(_.id)
+    assert(out.map(_.text).toSeq === Seq("KEEP ME", "KEEP TOO"))
+  }
+}
+
+object SourcesSpec {
+  case class Rec(id: Long, text: String)
+}
