@@ -219,6 +219,14 @@ object SparkEntry {
       Ann.ivfTopK(embs(s, dir), "vec_id", "embedding", 5)
         .orderBy("id", "rank")),
 
+    // querySql passthrough (reference S1 `querySql` mode,
+    // `ReaderSplitUtil.java:92-102`): user-authored SQL text runs as-is —
+    // the exact same string is the DuckDB oracle
+    "sql_passthrough" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events")
+      s.sql(sqlPassthroughText)
+    }),
+
     // ------------------------------------------------ relational smoke
     "docs_by_source" -> ((s, dir) =>
       docs(s, dir).groupBy(col("source"), col("lang"))
@@ -226,6 +234,12 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_doc"))
         .orderBy("source", "lang")))
+
+  /** Dialect-neutral SQL (Spark ∩ DuckDB) for the passthrough query. */
+  private val sqlPassthroughText = """
+    SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+      min(event_id) AS min_id
+    FROM events GROUP BY event_type ORDER BY event_type"""
 
   // ================================================================ oracles
 
@@ -451,6 +465,8 @@ object SparkEntry {
       FROM v a JOIN v b ON a.id < b.id
       WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.4
       ORDER BY id_a, id_b""",
+
+    "sql_passthrough" -> sqlPassthroughText,
 
     "docs_by_source" -> """
       SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,

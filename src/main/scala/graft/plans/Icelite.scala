@@ -319,6 +319,41 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       .select(payload.fieldNames.map(col).toSeq: _*)
   }
 
+  /** All retained snapshots, oldest first — Iceberg `table.history()`. */
+  def history(): Seq[SnapshotMeta] = {
+    val dir = Paths.get(root, "_icelite")
+    val s = Files.list(dir)
+    val ids = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .flatMap(n => Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
+      .toSeq.sorted
+    finally s.close()
+    ids.map(readSnapshot(root, _))
+  }
+
+  /** Incremental changelog read (Iceberg incremental-scan analogue): every
+    * row version — upserts AND tombstones — committed after snapshot `sid`,
+    * i.e. with `_seq` greater than the highest sequence present then.
+    * Planned from the manifest's per-file seq ranges, so only files that
+    * can contain newer rows are opened; while deltas dominate this is
+    * O(new data), not O(table). Rows are raw versions (a key may repeat);
+    * run [[graft.operators.Lww.latest]] on the result for net changes.
+    */
+  def changesSince(sid: Long): DataFrame = {
+    val from = readSnapshot(root, sid)
+    val fromMax = from.files.map(_.maxSeq).foldLeft(-1L)(math.max)
+    val snap = snapshot()
+    val cur = schemaFor(snap, snap.currentSchemaId)
+    val files = snap.files.filter(_.maxSeq > fromMax) // manifest pruning
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), cur)
+    files.groupBy(_.schemaId).map { case (schId, fs) =>
+      align(spark.read.schema(schemaFor(snap, schId))
+        .parquet(fs.map(f => s"$root/${f.path}"): _*), cur)
+    }.reduce(_.unionByName(_))
+      .filter(col("_seq") > fromMax)
+  }
+
   // ---------------------------------------------------------------- merge
 
   /** Apply one change batch (op/key/payload/event_ts/seq rows) exactly once.

@@ -161,6 +161,46 @@ object Ingest {
         "snapshot_id LONG, wall_ms LONG")
       .json(s"${cfg.tablePath}/_lineage")
 
+  /** Pre-flight validation without moving data — the reference's dryRun /
+    * preCheck path (`core/.../job/JobContainer.java:184-213`: validate
+    * connectivity, split key, SQL grammar). Checks: the binlog exists and
+    * carries the required change columns; an existing table's schema can
+    * evolve to the batch payload (add/widen only); an existing checkpoint
+    * belongs to this writer. Returns the passed checks; throws
+    * IllegalArgumentException on the first failure. */
+  def dryRun(spark: SparkSession, cfg: Config, binlogDir: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    def fail(msg: String) = throw new IllegalArgumentException(s"dryRun: $msg")
+
+    val schema =
+      try spark.read.parquet(binlogDir).schema
+      catch { case e: Exception => fail(s"binlog unreadable at $binlogDir: ${e.getMessage}") }
+    val required = Seq("op", "event_ts", "seq") ++ Model.keyCols
+    val missing = required.filterNot(schema.fieldNames.contains)
+    if (missing.nonEmpty) fail(s"binlog lacks required columns: ${missing.mkString(", ")}")
+    out += s"binlog readable, required columns present (${schema.fieldNames.length} cols)"
+
+    if (Icelite.exists(cfg.tablePath)) {
+      val table = Icelite.load(spark, cfg.tablePath)
+      val payload = org.apache.spark.sql.types.StructType(schema.fields.filterNot(f =>
+        Seq("op", "event_ts", "seq", "shard", "seg").contains(f.name)))
+      val tablePayload = org.apache.spark.sql.types.StructType(
+        table.currentSchema().fields.filterNot(f => Model.lineageCols.contains(f.name)))
+      try Icelite.evolve(tablePayload, payload)
+      catch { case e: Exception => fail(s"incompatible schema evolution: ${e.getMessage}") }
+      out += s"table schema evolvable (snapshot ${table.snapshot().snapshotId})"
+      val sw = table.snapshot().writerId
+      if (sw.nonEmpty && sw != cfg.writerId)
+        out += s"note: table last written by '$sw' (this job: '${cfg.writerId}') — " +
+          "idempotence gate will not dedup across writers"
+    } else out += "table absent — will be created"
+
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(cfg.checkpointDir, "offsets")))
+      out += "checkpoint present — stream resumes from recorded offsets"
+    else out += "no checkpoint — stream starts from the beginning"
+    out.toSeq
+  }
+
   /** Batch-mode replay: apply pre-split batches sequentially. */
   def replay(spark: SparkSession, cfg: Config, batches: Seq[DataFrame]): Seq[Icelite.MergeStats] = {
     cfg.preHook.foreach(_(spark))

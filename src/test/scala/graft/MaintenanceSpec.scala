@@ -96,6 +96,62 @@ class MaintenanceSpec extends SparkSpec {
     assert(table.read().count() === 3)
   }
 
+  test("history lists snapshots; changesSince returns only newer row versions") {
+    val root = tmpDir("inc")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2)
+    Ingest.applyBatch(spark, cfg,
+      batchOf(ev("I", "c1", 0, "v1", 1, 1), ev("I", "c2", 0, "x", 2, 2)), 0L)
+    val table = Icelite.load(spark, cfg.tablePath)
+    val s1 = table.snapshot().snapshotId
+    Ingest.applyBatch(spark, cfg,
+      batchOf(ev("U", "c1", 0, "v2", 3, 3), ev("D", "c2", 0, null, 4, 4)), 1L)
+    Ingest.applyBatch(spark, cfg, batchOf(ev("I", "c3", 1, "y", 5, 5)), 2L)
+
+    assert(table.history().map(_.snapshotId) === Seq(0L, 1L, 2L, 3L))
+
+    val changes = table.changesSince(s1)
+      .select("conv_id", "turn_idx", "text", "_seq", "_deleted")
+      .orderBy("_seq").collect()
+    assert(changes.map(_.getLong(3)).toSeq === Seq(3L, 4L, 5L)) // seqs 1,2 excluded
+    assert(changes(1).getBoolean(4)) // the delete arrives as a tombstone version
+    // net changes = LWW over the incremental read
+    val net = graft.operators.Lww.latest(table.changesSince(s1),
+      Seq("conv_id", "turn_idx"), Seq("_event_ts", "_seq"))
+    assert(net.count() === 3)
+
+    // changes survive compaction: manifest seq pruning + row filter
+    table.compactAll()
+    val afterCompact = table.changesSince(s1).select("_seq").collect().map(_.getLong(0)).sorted
+    assert(afterCompact.toSeq === Seq(3L, 4L, 5L))
+    assert(table.changesSince(table.snapshot().snapshotId).count() === 0)
+  }
+
+  test("dryRun validates binlog, schema evolution, and checkpoint state") {
+    val root = tmpDir("dry")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2)
+    val ch = batchOf(ev("I", "c1", 0, "a", 1, 1))
+    Changelog.writeBinlog(ch, s"$root/binlog", shards = 1, segSize = 10)
+
+    val checks = Ingest.dryRun(spark, cfg, s"$root/binlog")
+    assert(checks.exists(_.contains("binlog readable")))
+    assert(checks.exists(_.contains("table absent")))
+    assert(checks.exists(_.contains("no checkpoint")))
+
+    intercept[IllegalArgumentException] {
+      Ingest.dryRun(spark, cfg, s"$root/nonexistent")
+    }
+    // a "binlog" missing the op column fails the contract check
+    spark.range(3).select($"id".as("conv_id")).write.parquet(s"$root/bad")
+    val e = intercept[IllegalArgumentException] { Ingest.dryRun(spark, cfg, s"$root/bad") }
+    assert(e.getMessage.contains("required columns"))
+
+    // after a real run: table present + checkpoint present
+    Ingest.runStream(spark, cfg, s"$root/binlog")
+    val checks2 = Ingest.dryRun(spark, cfg, s"$root/binlog")
+    assert(checks2.exists(_.contains("schema evolvable")))
+    assert(checks2.exists(_.contains("checkpoint present")))
+  }
+
   // ------------------------------------------------------------ dirty gate
 
   test("dirty rows route to dead-letter; clean rows merge; limit trips") {
@@ -126,6 +182,17 @@ class MaintenanceSpec extends SparkSpec {
     }
     assert(Icelite.load(spark, cfg.tablePath).read().count() === 2) // unchanged
     assert(spark.read.parquet(dl).count() === 5)
+  }
+
+  test("pre/post hooks run around replay (reference preSql/postSql)") {
+    val root = tmpDir("hooks")
+    val order = scala.collection.mutable.ListBuffer.empty[String]
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
+      preHook = Some(_ => order += "pre"),
+      postHook = Some(_ => order += "post"))
+    Ingest.replay(spark, cfg, Seq(batchOf(ev("I", "c1", 0, "a", 1, 1))))
+    order += "done"
+    assert(order.toSeq === Seq("pre", "post", "done"))
   }
 
   // ------------------------------------------------------------ metrics

@@ -21,6 +21,37 @@ class StreamingSpec extends SparkSpec {
     x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
   }
 
+  test("stateful LWW winner stream: improvements emitted, stale absorbed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulLww
+    implicit val sq = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[graft.model.Model.ChangeEvent] =
+      org.apache.spark.sql.Encoders.product[graft.model.Model.ChangeEvent]
+    val input = MemoryStream[graft.model.Model.ChangeEvent]
+    val out = StatefulLww.winners(input.toDS(), watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("winners")
+      .outputMode("update").start()
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    def ev(op: String, conv: String, turn: Int, text: String, sec: Long, seq: Long) =
+      graft.model.Model.ChangeEvent(op, conv, turn, "user", text, null, ts(sec), ts(sec), seq)
+    try {
+      input.addData(ev("I", "c1", 0, "a", 1, 1), ev("I", "c2", 0, "x", 2, 2))
+      q.processAllAvailable()
+      input.addData(
+        ev("U", "c1", 0, "b", 5, 3),   // improvement → emitted
+        ev("U", "c1", 0, "stale", 0, 4), // older than winner → absorbed
+        ev("D", "c2", 0, null, 6, 5))  // delete wins → tombstone emitted
+      q.processAllAvailable()
+      val got = spark.table("winners")
+        .select("op", "conv_id", "turn_idx", "text", "seq").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3), r.getLong(4)))
+      assert(got.length === 4) // 2 initial + improvement + delete; no stale
+      assert(got.count(_._5 == 4L) === 0) // stale seq never surfaced
+      assert(got.contains(("U", "c1", 0, "b", 3L)))
+      assert(got.contains(("D", "c2", 0, null, 5L)))
+    } finally q.stop()
+  }
+
   test("streaming ingest over binlog equals declarative oracle") {
     val root = tmpDir("st1")
     val ch = gen(3000).cache()
