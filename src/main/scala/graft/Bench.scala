@@ -110,8 +110,17 @@ object Bench {
     }
 
     // ---- operator benches on the sf dir -------------------------------
-    def run(name: String)(df: => DataFrame): Unit =
-      time(name) { df.write.mode("overwrite").format("noop").save() }
+    // two runs, keep the warm one: run 1 pays Janino codegen + JIT for the
+    // operator's expression tree (seconds), which steady-state pipelines
+    // amortize to zero — the reference's published numbers are steady-state
+    def run(name: String)(df: => DataFrame): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      results(name) = math.min(once(), once())
+    }
 
     run("lww_dedup_sf") {
       Lww.latest(Changelog.fromEvents(spark, sfDir), Model.keyCols, Seq("event_ts", "seq"))

@@ -162,6 +162,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus length profile — the pre-filter histogram every training
+    // pipeline computes before choosing length cutoffs
+    "text_length_histogram" -> ((s, dir) =>
+      docs(s, dir)
+        .select((floor(size(TextOps.tokens(col("text"))) / 10) * 10).as("bucket_lo"))
+        .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket_lo")),
+
     "text_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
           TextOps.qualityScore(col("text")).as("quality"))
@@ -189,6 +197,11 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+
+    // duplicate clusters = connected components over the near-dup pairs
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.8))
+        .orderBy("id")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHash(docs(s, dir), "doc_id", "text").orderBy("id")),
@@ -374,6 +387,11 @@ object SparkEntry {
         len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_bpe_distinct
       FROM documents ORDER BY doc_id""",
 
+    "text_length_histogram" -> """
+      SELECT (len(string_split(text, ' ')) // 10) * 10 AS bucket_lo,
+        count(*) AS n_docs
+      FROM documents GROUP BY 1 ORDER BY bucket_lo""",
+
     "text_quality" -> """
       SELECT doc_id,
         round(0.4 * least(n::DOUBLE / 50.0, 1.0)
@@ -428,6 +446,18 @@ object SparkEntry {
     // identical pairs in this corpus; verified-exact output equals the
     // exact all-pairs result
     "dedup_minhash_lsh" -> duckJaccardPairs,
+
+    "dedup_clusters" -> s"""
+      WITH RECURSIVE pairs AS ($duckJaccardPairs),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id)
+      SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""",
 
     "dedup_simhash" -> s"$duckSimhash\nORDER BY id",
 

@@ -151,6 +151,47 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------------------ clustering
+
+  /** Duplicate clusters from near-dup pairs: connected components by
+    * iterative min-label propagation. Each iteration is one shuffle join
+    * (edges ⋈ labels) + a min aggregation; converges in O(log diameter)
+    * rounds — near-dup graphs are unions of small cliques, so 2-3 rounds
+    * in practice. The canonical "keep one per cluster" reduction after any
+    * pair-producing dedup ([[jaccardPairs]], [[minHashLshPairs]],
+    * [[simHashPairs]], [[Ann.cosinePairs]]).
+    * Output: (id, cluster) where cluster = min id in the component;
+    * only ids that appear in some pair are clustered.
+    */
+  def clusters(pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      iter += 1
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
+      val next = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") < col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** 60-bit SimHash per doc over tf-weighted token hashes ([[portableHash]]

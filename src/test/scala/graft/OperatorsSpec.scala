@@ -105,6 +105,14 @@ class OperatorsSpec extends SparkSpec {
     assert(perfect === Set((0L, 1L), (0L, 5L), (1L, 5L)))
   }
 
+  test("clusters: connected components over near-dup pairs, incl. chains") {
+    // chain a-b, b-c (a !~ c directly) must land in ONE cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: identical docs equal, near-dups close, unrelated far") {
     val h = Dedup.simHash(corpus, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -93,6 +93,35 @@ class PropertySpec extends SparkSpec {
       state(Icelite.load(spark, s"$r2/t").read()))
   }
 
+  test("compaction invariance: eager COW, periodic, and never-compact agree") {
+    val events = randomEvents(new Random(21), 300)
+    val df = spark.createDataset(events).toDF()
+    val batches = (0 until 6).map(i => df.filter($"seq" % 6 === i))
+    val states = Seq(0, 2, 100).map { thr => // 0 = compact every batch (COW)
+      val r = tmpDir(s"prop-ct$thr")
+      Ingest.replay(spark, Ingest.Config(s"$r/t", s"$r/c", s"w$thr", buckets = 4,
+        opts = Icelite.Options(compactThreshold = thr)), batches)
+      val t = Icelite.load(spark, s"$r/t")
+      if (thr == 100) t.compactAll() // maintenance compaction afterwards
+      state(t.read())
+    }
+    assert(states.distinct.size === 1)
+    assert(states.head === oracle(events))
+  }
+
+  test("dedupDeltaWrites on/off produce identical tables") {
+    val events = randomEvents(new Random(31), 300)
+    val df = spark.createDataset(events).toDF()
+    val batches = (0 until 4).map(i => df.filter($"seq" % 4 === i))
+    val states = Seq(true, false).map { dd =>
+      val r = tmpDir(s"prop-dd$dd")
+      Ingest.replay(spark, Ingest.Config(s"$r/t", s"$r/c", s"w$dd", buckets = 4,
+        opts = Icelite.Options(dedupDeltaWrites = dd)), batches)
+      state(Icelite.load(spark, s"$r/t").read())
+    }
+    assert(states.distinct.size === 1 && states.head === oracle(events))
+  }
+
   test("LWW aggregation == window formulation on random data") {
     for (seed <- Seq(11, 12)) {
       val df = spark.createDataset(randomEvents(new Random(seed), 500)).toDF()
