@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Model
-import graft.operators.{Ann, Dedup, Lww, Skew, TextOps, Transforms}
+import graft.operators.{Ann, Dedup, Lww, Multimodal, Skew, TextOps, Transforms}
 import graft.plans.Icelite
 import graft.sources.{Changelog, FileIo}
 import graft.streaming.Ingest
@@ -231,6 +231,21 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) =>
       Ann.ivfTopK(embs(s, dir), "vec_id", "embedding", 5)
         .orderBy("id", "rank")),
+
+    // multimodal pipeline (rows-only: blob derivation is xxhash-based,
+    // engine-internal; determinism + batching asserted in MultimodalSpec)
+    "mm_decode_features" -> ((s, _) => {
+      implicit val sp = s
+      Multimodal.decodeImage(Multimodal.syntheticMedia(s, 2000))
+        .toDF().select("media_id", "kind", "n_bytes", "checksum")
+        .orderBy("media_id")
+    }),
+
+    "mm_frame_sample" -> ((s, _) =>
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 2000), everyK = 2)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).as("sampled_bytes"))
+        .orderBy("media_id")),
 
     // querySql passthrough (reference S1 `querySql` mode,
     // `ReaderSplitUtil.java:92-102`): user-authored SQL text runs as-is —

@@ -4,8 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextOps.portableHash
-
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`).
   *
@@ -21,16 +19,19 @@ import graft.operators.TextOps.portableHash
   */
 object Ann {
 
-  /** id + embedding (cast to double) + precomputed L2 norm. */
-  private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  /** id + embedding (cast to double) + precomputed L2 norm.
+    * Uses the native codegen'd [[graft.functions.L2Norm]] — identical
+    * left-to-right fold as the declarative `aggregate` formulation and the
+    * DuckDB oracle, minus the interpreted lambda dispatch per element. */
+  private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(
       col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0d),
-        (acc, x) => acc + x * x)))
+      .withColumn("norm", expr("graft_norm(v)"))
+  }
 
-  private def dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-    lit(0.0d), (acc, x) => acc + x)
+  private def dot = expr("graft_dot(a.v, b.v)")
 
   /** Exact cosine top-k per vector (self excluded). Output:
     * (id, rank, neighbor_id, cos) with cos rounded to 6 dp; ties broken by
@@ -105,24 +106,34 @@ object Ann {
       .withColumn("cos", round(col("cos"), 6))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): uniform in [-1, 1) derived from the portable hash — no RNG, no
-    * engine dependence, reproducible across runs. */
-  private def planeComponent(table: Int, plane: Int, d: org.apache.spark.sql.Column) =
-    (pmod(portableHash(concat_ws("_", lit(table), lit(plane), d)), lit(2000L))
-      .cast("double") - 1000.0d) / 1000.0d
+  /** Deterministic pseudo-random hyperplane vector for (table, plane):
+    * per-dim components uniform in [-1, 1) from md5 — no RNG, reproducible
+    * across runs. Materialized driver-side as a literal array so the
+    * per-row projection is one codegen'd `graft_dot` loop instead of an
+    * interpreted zip_with/aggregate pair. */
+  private def planeVec(table: Int, plane: Int, dims: Int): Array[Double] =
+    (0 until dims).map { d =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${table}_${plane}_$d".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(digest.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      (h % 2000L).toDouble / 1000.0d - 1.0d
+    }.toArray
 
   /** LSH bucket code for one table: sign bits of `planes` hyperplane dots. */
-  private def bucketCode(table: Int, planes: Int) = {
+  private def bucketCode(table: Int, planes: Int, dims: Int) = {
     val codes = (0 until planes).map { pl =>
-      val proj = aggregate(
-        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-          (x, i) => x * planeComponent(table, pl, i)),
-        lit(0.0d), (acc, x) => acc + x)
+      // plane vector as a literal SQL array — foldable, so the analyzed
+      // plan carries one constant array per (table, plane)
+      val w = planeVec(table, pl, dims)
+        .map(x => s"CAST('$x' AS DOUBLE)").mkString("array(", ",", ")")
+      val proj = expr(s"graft_dot(v, $w)")
       when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << pl)
     }
     codes.reduce(_ + _)
   }
+
+  private def vecDims(p: DataFrame): Int =
+    p.select(size(col("v"))).head().getInt(0)
 
   /** ANN top-k via random-hyperplane LSH: `tables` independent bucketings
     * of `planes` bits each; candidate pairs share a bucket in ≥1 table;
@@ -132,9 +143,10 @@ object Ann {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       planes: Int = 4, tables: Int = 8): DataFrame = {
     val p = prep(df, idCol, vecCol)
+    val dims = vecDims(p)
     val buckets = (0 until tables).map { t =>
       p.select(col("id"), col("v"), col("norm"),
-        lit(t).as("tbl"), bucketCode(t, planes).as("bkt"))
+        lit(t).as("tbl"), bucketCode(t, planes, dims).as("bkt"))
     }.reduce(_.unionByName(_))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
@@ -171,9 +183,10 @@ object Ann {
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 4, tables: Int = 8): DataFrame = {
     val p = prep(df, idCol, vecCol)
+    val dims = vecDims(p)
     val buckets = (0 until tables).map { t =>
       p.select(col("id"), col("v"), col("norm"),
-        lit(t).as("tbl"), bucketCode(t, planes).as("bkt"))
+        lit(t).as("tbl"), bucketCode(t, planes, dims).as("bkt"))
     }.reduce(_.unionByName(_))
     buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
@@ -208,8 +221,7 @@ object Ann {
     val p = prep(df, idCol, vecCol)
     val cents = p.orderBy(col("id")).limit(nlist)
       .select(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
-    val cdot = aggregate(zip_with(col("v"), col("cv"), (x, y) => x * y),
-      lit(0.0d), (acc, x) => acc + x)
+    val cdot = expr("graft_dot(v, cv)")
     // rank centroids per vector once; slot 1 = assignment, 1..nProbe = probes
     val ranked = p.join(broadcast(cents))
       .select(col("id"), col("v"), col("norm"), col("cid"),

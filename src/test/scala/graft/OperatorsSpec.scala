@@ -147,6 +147,32 @@ class OperatorsSpec extends SparkSpec {
     assert(ok.toDouble / r1.size >= 0.5)
   }
 
+  test("native graft_dot/graft_norm: bitwise-equal to the declarative fold") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val both = df.select(
+      expr("graft_dot(v, v)").as("native"),
+      aggregate(zip_with($"v", $"v", (x, y) => x * y), lit(0.0d), (a, x) => a + x).as("decl"),
+      expr("graft_norm(v)").as("nnorm"),
+      sqrt(aggregate($"v", lit(0.0d), (a, x) => a + x * x)).as("dnorm")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+    // null safety + length mismatch (min-length contract)
+    val edge = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS a, " +
+        "graft_dot(CAST(null AS ARRAY<DOUBLE>), array(1.0d)) AS b").head()
+    assert(edge.getDouble(0) === 3.0)
+    assert(edge.isNullAt(1))
+    // SparkSessionExtensions injection path compiles & registers
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+  }
+
   test("broadcast kNN fast path equals the declarative brute force exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val slow = Ann.bruteForceTopK(emb, "vec_id", "embedding", 5)
