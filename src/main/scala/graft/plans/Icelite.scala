@@ -91,8 +91,11 @@ object Icelite {
       compactThreshold: Int = 8,
       /** salting target: max rows a single write task should own. */
       targetRowsPerTask: Long = 2000000L,
-      /** drop tombstones when compacting (only safe once no event older
-        * than the delete can still arrive — a watermark decision). */
+      /** drop tombstones when compacting — only safe once (a) no event
+        * older than the delete can still arrive (a watermark decision) AND
+        * (b) no incremental consumer still needs to observe the delete:
+        * [[IceliteTable.changesSince]] cannot return a tombstone that
+        * compaction physically removed. */
       dropTombstonesOnCompact: Boolean = false,
       /** LWW-collapse each delta batch before writing it. Off by default —
         * true merge-on-read: intra-batch duplicates are rare (an append-
@@ -105,6 +108,22 @@ object Icelite {
 
   private implicit val fmts: DefaultFormats = DefaultFormats
   private[plans] val BucketCol = "bkt"
+
+  /** THE bucket function — every site (bucketed write, batch stats, point
+    * lookup) must agree on it or data mis-buckets relative to the
+    * manifest. Murmur3 `hash` (seed 42) of the conversation id. */
+  def bucketOf(buckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(col("conv_id")), lit(buckets))
+
+  /** Driver-side evaluation of [[bucketOf]] for a known key — no Spark job. */
+  def bucketOfKey(convId: String, buckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(convId),
+        org.apache.spark.sql.types.StringType)), 42)
+      .eval(null).asInstanceOf[Int]
+    ((h % buckets) + buckets) % buckets
+  }
 
   // ---------------------------------------------------------------- create/load
 
@@ -132,21 +151,20 @@ object Icelite {
   private[plans] def versionFile(root: String, id: Long) =
     Paths.get(root, "_icelite", f"v$id%010d.json")
 
-  private[plans] def latestVersion(root: String): Option[Long] = {
+  /** All committed snapshot ids at `root`, ascending. */
+  private[plans] def listVersions(root: String): Seq[Long] = {
     val dir = Paths.get(root, "_icelite")
-    if (!Files.isDirectory(dir)) return None
+    if (!Files.isDirectory(dir)) return Nil
     val it = Files.list(dir)
-    try {
-      val vs = it.iterator()
-      var max = -1L
-      while (vs.hasNext) {
-        val n = vs.next().getFileName.toString
-        if (n.startsWith("v") && n.endsWith(".json"))
-          Try(n.stripPrefix("v").stripSuffix(".json").toLong).foreach(v => max = math.max(max, v))
-      }
-      if (max >= 0) Some(max) else None
-    } finally it.close()
+    try it.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .flatMap(n => Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
+      .toSeq.sorted
+    finally it.close()
   }
+
+  private[plans] def latestVersion(root: String): Option[Long] =
+    listVersions(root).lastOption
 
   private[plans] def readSnapshot(root: String, id: Long): SnapshotMeta =
     Serialization.read[SnapshotMeta](new String(
@@ -166,7 +184,13 @@ object Icelite {
       try Files.createLink(target, tmp)
       catch {
         case _: UnsupportedOperationException =>
-          // fs without hard links: best-effort fallback
+          // fs without hard links: ATOMIC_MOVE would silently REPLACE an
+          // existing target (POSIX rename), losing the conflict check —
+          // pre-check existence to keep the single-writer contract (a
+          // race window remains on such filesystems; documented)
+          if (Files.exists(target))
+            throw new IllegalStateException(
+              s"commit conflict: snapshot ${snap.snapshotId} already exists at $root")
           Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
         case e: java.nio.file.FileAlreadyExistsException =>
           throw new IllegalStateException(
@@ -253,8 +277,6 @@ class IceliteTable(val spark: SparkSession, val root: String) {
   private def schemaFor(snap: SnapshotMeta, id: Int): StructType =
     DataType.fromJson(snap.schemas(id)).asInstanceOf[StructType]
 
-  private def bucketExpr = pmod(hash(col("conv_id")), lit(snapshot().buckets))
-
   // ---------------------------------------------------------------- read
 
   /** Read raw rows (payload + lineage, incl. tombstones) from a snapshot.
@@ -302,34 +324,28 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     */
   def lookup(convId: String): DataFrame = {
     val snap = snapshot()
-    val b = spark.range(1)
-      .select(pmod(hash(lit(convId)), lit(snap.buckets)).as("b")).head().getInt(0)
+    val b = Icelite.bucketOfKey(convId, snap.buckets) // no Spark job
     val files = snap.files.filter(_.bucket == b)
     val cur = schemaFor(snap, snap.currentSchemaId)
     val payload = payloadPart(cur)
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), payload)
+    // filter BEFORE the LWW aggregation: semantically identical (LWW groups
+    // per key) and the conv_id predicate pushes into the parquet scan —
+    // a few row groups instead of a bucket-wide shuffle
     val df = files.groupBy(_.schemaId).map { case (sid, fs) =>
       align(spark.read.schema(schemaFor(snap, sid))
         .parquet(fs.map(f => s"$root/${f.path}"): _*), cur)
     }.reduce(_.unionByName(_))
+      .filter(col("conv_id") === convId)
     val needLww = files.exists(_.kind == "delta")
     val resolved = if (needLww) Lww.latest(df, Model.keyCols, Seq("_event_ts", "_seq")) else df
-    resolved.filter(col("conv_id") === convId && !col("_deleted"))
+    resolved.filter(!col("_deleted"))
       .select(payload.fieldNames.map(col).toSeq: _*)
   }
 
   /** All retained snapshots, oldest first — Iceberg `table.history()`. */
-  def history(): Seq[SnapshotMeta] = {
-    val dir = Paths.get(root, "_icelite")
-    val s = Files.list(dir)
-    val ids = try s.iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .flatMap(n => Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
-      .toSeq.sorted
-    finally s.close()
-    ids.map(readSnapshot(root, _))
-  }
+  def history(): Seq[SnapshotMeta] = listVersions(root).map(readSnapshot(root, _))
 
   /** Incremental changelog read (Iceberg incremental-scan analogue): every
     * row version — upserts AND tombstones — committed after snapshot `sid`,
@@ -344,7 +360,8 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     val fromMax = from.files.map(_.maxSeq).foldLeft(-1L)(math.max)
     val snap = snapshot()
     val cur = schemaFor(snap, snap.currentSchemaId)
-    val files = snap.files.filter(_.maxSeq > fromMax) // manifest pruning
+    // manifest pruning; a file with unknown maxSeq (-1) is never pruned
+    val files = snap.files.filter(f => f.maxSeq < 0 || f.maxSeq > fromMax)
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), cur)
     files.groupBy(_.schemaId).map { case (schId, fs) =>
@@ -408,7 +425,7 @@ class IceliteTable(val spark: SparkSession, val root: String) {
         .withColumn("_seq", col("seq"))
         .withColumn("_deleted", col("op") === lit("D")),
       newFull)
-    val withBRaw = norm.withColumn(BucketCol, pmod(hash(col("conv_id")), lit(snap.buckets)))
+    val withBRaw = norm.withColumn(BucketCol, bucketOf(snap.buckets))
 
     // one small aggregate: per-bucket row counts + seq ranges + delete counts
     val stats = precomputedStats.getOrElse(phase("stats-agg", t0) {
@@ -483,7 +500,7 @@ class IceliteTable(val spark: SparkSession, val root: String) {
           align(spark.read.schema(schemaFor(snap, sid))
             .parquet(fs.map(f => s"$root/${f.path}"): _*), newFull)
         }.reduce(_.unionByName(_))
-          .withColumn(BucketCol, pmod(hash(col("conv_id")), lit(snap.buckets))))
+          .withColumn(BucketCol, bucketOf(snap.buckets)))
       val incoming = withB.filter(col(BucketCol).isInCollection(compactSet))
       val combined = old.map(_.unionByName(incoming)).getOrElse(incoming)
       // compaction rewrites whole buckets: slots sized by total bucket
@@ -498,7 +515,26 @@ class IceliteTable(val spark: SparkSession, val root: String) {
         writeBucketed(combined, s"$root/$rel", compactSlots,
           dropTombstones = opts.dropTombstonesOnCompact)
       }
-      newFiles ++= phase("compact-list", t0) { listStaged(rel, "base", schemaId, stats) }
+      // manifest seq ranges for compacted base files must cover the OLD
+      // rows being rewritten, not just the incoming batch — a late (low-seq)
+      // batch that triggers compaction would otherwise manifest a file full
+      // of high-seq rows with a low maxSeq, and changesSince's pruning
+      // would silently skip committed changes
+      val oldRanges: Map[Int, (Long, Long)] = oldFiles.groupBy(_.bucket).map {
+        case (b, fs) =>
+          b -> ((fs.map(_.minSeq).min, fs.map(_.maxSeq).max))
+      }
+      val compactStats: Map[Int, (Long, Long, Long, Long)] = compactSet.map { b =>
+        val (bn, bd, blo, bhi) = stats.getOrElse(b, (0L, 0L, -1L, -1L))
+        val (olo, ohi) = oldRanges.getOrElse(b, (-1L, -1L))
+        // -1 = unknown; union of known bounds
+        val lo =
+          if (blo < 0) olo
+          else if (olo < 0) blo
+          else math.min(blo, olo)
+        b -> ((bn, bd, lo, math.max(bhi, ohi)))
+      }.toMap
+      newFiles ++= phase("compact-list", t0) { listStaged(rel, "base", schemaId, compactStats) }
     }
     if (bothWrites) withB.unpersist()
 
@@ -537,7 +573,7 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       align(spark.read.schema(schemaFor(snap, sid))
         .parquet(fs.map(f => s"$root/${f.path}"): _*), full)
     }.reduce(_.unionByName(_))
-      .withColumn(BucketCol, pmod(hash(col("conv_id")), lit(snap.buckets)))
+      .withColumn(BucketCol, bucketOf(snap.buckets))
     val byBucket = oldFiles.groupBy(_.bucket)
     val bucketStats: Map[Int, (Long, Long, Long, Long)] = byBucket.map {
       case (b, fs) => b -> ((fs.map(f => math.max(f.rows, 0L)).sum, 0L,
@@ -561,22 +597,20 @@ class IceliteTable(val spark: SparkSession, val root: String) {
   /** Expire all but the newest `keepLast` snapshots and delete data files
     * no kept snapshot references (Iceberg `expire_snapshots` + orphan-file
     * removal). Time travel to expired ids stops working, by design.
-    * Returns (snapshots expired, data files deleted). */
-  def expireSnapshots(keepLast: Int): (Int, Int) = {
+    *
+    * `orphanGraceMs`: an unreferenced file younger than this is SPARED —
+    * it may be the staged output of an in-flight writer that has not yet
+    * committed its snapshot (the same age threshold Iceberg's
+    * remove_orphan_files applies). Pass 0 only when no writer can be
+    * active. Returns (snapshots expired, data files deleted). */
+  def expireSnapshots(keepLast: Int, orphanGraceMs: Long = 3600000L): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val dir = Paths.get(root, "_icelite")
-    val versions = {
-      val s = Files.list(dir)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .flatMap(n => Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
-        .toSeq.sorted
-      finally s.close()
-    }
+    val versions = listVersions(root)
     val (drop, keep) = versions.splitAt(math.max(versions.size - keepLast, 0))
     val referenced: Set[String] =
       keep.flatMap(v => readSnapshot(root, v).files.map(_.path)).toSet
     drop.foreach(v => Files.deleteIfExists(versionFile(root, v)))
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     var deleted = 0
     val dataDir = Paths.get(root, "data")
     if (Files.isDirectory(dataDir)) {
@@ -584,7 +618,8 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       try walk.iterator().asScala.toSeq.reverse.foreach { p =>
         val relPath = Paths.get(root).relativize(p).toString
         if (Files.isRegularFile(p) && relPath.endsWith(".parquet") &&
-            !referenced.contains(relPath)) {
+            !referenced.contains(relPath) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff) {
           Files.delete(p); deleted += 1
         } else if (Files.isDirectory(p) && p != dataDir) {
           val ls = Files.list(p)

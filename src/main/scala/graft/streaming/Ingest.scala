@@ -76,7 +76,42 @@ object Ingest {
     * its seq range, plus rows/s — the reference's per-channel speed report
     * (`TaskGroupContainer.java:253-266`) as a queryable table.
     */
+  private def lineageFile(cfg: Config, batchId: Long, snapshotId: Long) =
+    java.nio.file.Paths.get(cfg.tablePath, "_lineage",
+      f"batch-$batchId%09d-$snapshotId%09d.jsonl")
+
+  private def writeLineage(cfg: Config, rows: Seq[LineageRow], batchId: Long,
+      snapshotId: Long): Unit = {
+    // driver-side JSONL: lineage is a handful of rows per batch, and a
+    // Spark parquet job just to persist them costs a whole fixed-overhead
+    // job per micro-batch (visible in scaling runs)
+    val dir = java.nio.file.Paths.get(cfg.tablePath, "_lineage")
+    java.nio.file.Files.createDirectories(dir)
+    val json = rows.map(r =>
+      s"""{"batch_id":${r.batch_id},"shard":${r.shard},"rows":${r.rows},""" +
+      s""""start_seq":${r.start_seq},"end_seq":${r.end_seq},""" +
+      s""""snapshot_id":${r.snapshot_id},"wall_ms":${r.wall_ms}}""").mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(lineageFile(cfg, batchId, snapshotId), json)
+  }
+
   def applyBatch(spark: SparkSession, cfg: Config, batchIn: DataFrame, batchId: Long): Icelite.MergeStats = {
+    // Idempotence pre-check BEFORE any side effect: a replayed micro-batch
+    // (checkpoint recovery) must not re-append dead-letter rows or rerun
+    // stats. The one thing a replay may do is backfill the lineage file if
+    // the process died between the snapshot commit and the lineage write.
+    if (Icelite.exists(cfg.tablePath)) {
+      val snap = Icelite.load(spark, cfg.tablePath).snapshot()
+      if (cfg.writerId == snap.writerId && batchId <= snap.lastBatchId) {
+        if (batchId == snap.lastBatchId &&
+            !java.nio.file.Files.exists(lineageFile(cfg, batchId, snap.snapshotId))) {
+          val n = batchIn.count()
+          writeLineage(cfg, Seq(LineageRow(batchId, -1, n, -1L, -1L,
+            snap.snapshotId, 0L)), batchId, snap.snapshotId)
+        }
+        return Icelite.MergeStats(snap.snapshotId, batchId, skipped = true,
+          0, 0, 0, 0, 0, 0)
+      }
+    }
     // Cache the micro-batch once: the gate, the shard-stats aggregate and
     // the merge each run an action over it — without this every action
     // re-scans the source files (at 10^10 events, 2-3× the input IO).
@@ -107,8 +142,11 @@ object Ingest {
       // compaction choice, manifest seq ranges): group by (shard, bucket),
       // collect the tiny cross product, roll both views up on the driver.
       val buckets = table.snapshot().buckets
-      val bexpr = pmod(hash(col("conv_id")), lit(buckets)).as("_b")
-      val groupCols = (if (hasShard) Seq(col("shard")) else Seq(lit(-1).as("shard"))) :+ bexpr
+      val bexpr = Icelite.bucketOf(buckets).as("_b")
+      // coalesce: shard is nullable in binlogSchema; a null-shard row must
+      // not NPE the driver-side rollup (it lands in the -1 catch-all)
+      val groupCols = (if (hasShard) Seq(coalesce(col("shard"), lit(-1)).as("shard"))
+        else Seq(lit(-1).as("shard"))) :+ bexpr
       val fused = batch.groupBy(groupCols: _*).agg(
         count(lit(1)).as("n"),
         count_if(col("op") === lit("D")).as("d"),
@@ -135,17 +173,7 @@ object Ingest {
             }
           else Seq(LineageRow(batchId, -1, stats.inputRows, -1L, -1L,
             stats.snapshotId, stats.wallMs))
-        // driver-side JSONL append: lineage is a handful of rows per batch,
-        // and a Spark parquet job just to persist them costs a whole
-        // fixed-overhead job per micro-batch (visible in scaling runs)
-        val dir = java.nio.file.Paths.get(cfg.tablePath, "_lineage")
-        java.nio.file.Files.createDirectories(dir)
-        val json = rows.map(r =>
-          s"""{"batch_id":${r.batch_id},"shard":${r.shard},"rows":${r.rows},""" +
-          s""""start_seq":${r.start_seq},"end_seq":${r.end_seq},""" +
-          s""""snapshot_id":${r.snapshot_id},"wall_ms":${r.wall_ms}}""").mkString("", "\n", "\n")
-        java.nio.file.Files.writeString(
-          dir.resolve(f"batch-$batchId%09d-${stats.snapshotId}%09d.jsonl"), json)
+        writeLineage(cfg, rows, batchId, stats.snapshotId)
       }
       stats
     } finally src.unpersist()

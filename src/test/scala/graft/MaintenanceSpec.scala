@@ -54,7 +54,7 @@ class MaintenanceSpec extends SparkSpec {
     assert(table.compactAll() === sid)
 
     // expire everything but the head; orphaned delta files get deleted
-    val (expired, deleted) = table.expireSnapshots(keepLast = 1)
+    val (expired, deleted) = table.expireSnapshots(keepLast = 1, orphanGraceMs = 0)
     assert(expired > 0 && deleted > 0)
     val after2 = table.read().orderBy("conv_id", "turn_idx").collect()
     assert(after2.toSeq === before.toSeq)
@@ -90,7 +90,7 @@ class MaintenanceSpec extends SparkSpec {
     // the orphan generation), and snapshot expiry deletes the orphan file
     val st = Ingest.applyBatch(spark, cfg, batchOf(ev("I", "c3", 0, "c", 3, 3)), 1L)
     assert(st.snapshotId === sid + 1)
-    val (_, deleted) = table.expireSnapshots(keepLast = 1)
+    val (_, deleted) = table.expireSnapshots(keepLast = 1, orphanGraceMs = 0)
     assert(deleted >= 1)
     assert(!java.nio.file.Files.exists(orphanDir.resolve("part-orphan.parquet")))
     assert(table.read().count() === 3)
@@ -124,6 +124,24 @@ class MaintenanceSpec extends SparkSpec {
     val afterCompact = table.changesSince(s1).select("_seq").collect().map(_.getLong(0)).sorted
     assert(afterCompact.toSeq === Seq(3L, 4L, 5L))
     assert(table.changesSince(table.snapshot().snapshotId).count() === 0)
+  }
+
+  test("changesSince survives a compaction triggered by a late low-seq batch") {
+    val root = tmpDir("latecompact")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 1,
+      opts = Icelite.Options(compactThreshold = 2))
+    Ingest.applyBatch(spark, cfg, batchOf(ev("I", "c1", 0, "a", 1, 10)), 0L)
+    val table = Icelite.load(spark, cfg.tablePath)
+    val s1 = table.snapshot().snapshotId
+    Ingest.applyBatch(spark, cfg, batchOf(ev("I", "c2", 0, "b", 2, 100)), 1L)
+    // a LATE batch (low seqs) pushes the bucket over the threshold: the
+    // compacted base file's manifest range must cover the REWRITTEN rows
+    // (up to seq 100), not just the late batch — else changesSince prunes
+    // the file and silently loses the committed seq-100 change
+    Ingest.applyBatch(spark, cfg, batchOf(ev("I", "c3", 0, "late", 0, 5)), 2L)
+    assert(table.snapshot().files.forall(_.kind == "base"))
+    val seqs = table.changesSince(s1).select("_seq").collect().map(_.getLong(0)).toSet
+    assert(seqs === Set(100L)) // seq 5 < fromMax(10) excluded by contract; 100 retained
   }
 
   test("dryRun validates binlog, schema evolution, and checkpoint state") {
