@@ -61,6 +61,14 @@ object Ann {
   def bruteForceTopKFast(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the fast path encodes ids as Long; non-integral id columns get the
+    // (identical-result) declarative path instead of a runtime crash
+    val integral = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (!integral) return bruteForceTopK(df, idCol, vecCol, k)
     val p = df.select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .as[(Long, Array[Double])]
@@ -86,12 +94,16 @@ object Ann {
             var dot = 0.0; var i = 0
             while (i < cv.length) { dot += qv(i) * cv(i); i += 1 }
             val cos = dot / (qn * cn)
-            // insert if better than current worst
-            if (size < k || cos > bestCos(size - 1) ||
-                (cos == bestCos(size - 1) && cid < bestId(size - 1))) {
+            // Double.compare, not >: SQL DESC ordering ranks NaN greatest
+            // (a zero-norm vector yields NaN cosine), and the fast path
+            // must match the declarative ranking exactly
+            def beats(c: Double, id: Long, pos: Int): Boolean = {
+              val cmp = java.lang.Double.compare(c, bestCos(pos))
+              cmp > 0 || (cmp == 0 && id < bestId(pos))
+            }
+            if (size < k || beats(cos, cid, size - 1)) {
               var pos = if (size < k) size else k - 1
-              while (pos > 0 && (cos > bestCos(pos - 1) ||
-                  (cos == bestCos(pos - 1) && cid < bestId(pos - 1)))) {
+              while (pos > 0 && beats(cos, cid, pos - 1)) {
                 bestCos(pos) = bestCos(pos - 1); bestId(pos) = bestId(pos - 1); pos -= 1
               }
               bestCos(pos) = cos; bestId(pos) = cid
@@ -142,12 +154,14 @@ object Ann {
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       planes: Int = 4, tables: Int = 8): DataFrame = {
-    val p = prep(df, idCol, vecCol)
+    val p = prep(df, idCol, vecCol).cache()
     val dims = vecDims(p)
+    // cached: the self-join would otherwise recompute every hyperplane
+    // projection for both sides
     val buckets = (0 until tables).map { t =>
       p.select(col("id"), col("v"), col("norm"),
         lit(t).as("tbl"), bucketCode(t, planes, dims).as("bkt"))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)).cache()
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.id") =!= col("b.id"))
@@ -182,12 +196,12 @@ object Ann {
     * (vs exact) rises with `tables` and falls with `threshold` distance. */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 4, tables: Int = 8): DataFrame = {
-    val p = prep(df, idCol, vecCol)
+    val p = prep(df, idCol, vecCol).cache()
     val dims = vecDims(p)
     val buckets = (0 until tables).map { t =>
       p.select(col("id"), col("v"), col("norm"),
         lit(t).as("tbl"), bucketCode(t, planes, dims).as("bkt"))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)).cache()
     buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))

@@ -54,7 +54,10 @@ object Dedup {
   /** All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
     * Exact (joins on shingle) — quadratic in per-shingle doc frequency, so
     * only for modest corpora / as the verification oracle. Output jaccard
-    * is rounded to 6 dp for cross-engine comparability. */
+    * is rounded to 6 dp for cross-engine comparability.
+    * Note: the shingle set is cached and stays cached for the lifetime of
+    * the returned (lazy) plan — long-lived sessions doing many dedup runs
+    * should `spark.catalog.clearCache()` between corpora. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double): DataFrame = {
     val sh = shingleSet(df, idCol, textCol, n).cache()
@@ -155,9 +158,13 @@ object Dedup {
 
   /** Duplicate clusters from near-dup pairs: connected components by
     * iterative min-label propagation. Each iteration is one shuffle join
-    * (edges ⋈ labels) + a min aggregation; converges in O(log diameter)
-    * rounds — near-dup graphs are unions of small cliques, so 2-3 rounds
-    * in practice. The canonical "keep one per cluster" reduction after any
+    * (edges ⋈ labels) + a min aggregation, and advances the minimum one
+    * hop — O(graph diameter) rounds. Near-dup graphs are unions of small
+    * cliques (diameter 2-3 in practice); for genuinely long chains raise
+    * `maxIters` or switch to a pointer-doubling (large-star/small-star)
+    * formulation. Throws if convergence is not reached within `maxIters` —
+    * silently returning split components would corrupt downstream dedup.
+    * The canonical "keep one per cluster" reduction after any
     * pair-producing dedup ([[jaccardPairs]], [[minHashLshPairs]],
     * [[simHashPairs]], [[Ann.cosinePairs]]).
     * Output: (id, cluster) where cluster = min id in the component;
@@ -189,6 +196,10 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters() did not converge within $maxIters iterations — " +
+          "component diameter exceeds maxIters; raise it")
     labels
   }
 
@@ -217,6 +228,10 @@ object Dedup {
     * pigeonhole), so the join is band-bucketed, not all-pairs. */
   def simHashPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
     val bands = 4
+    // pigeonhole soundness: a pair within distance d shares an intact band
+    // only when d < bands — beyond that the blocking silently loses pairs
+    require(maxDist < bands,
+      s"simHashPairs blocking is exact only for maxDist < $bands (got $maxDist)")
     val width = 15
     val banded = hashes.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))

@@ -56,8 +56,7 @@ object TextOps {
     * 1-permutation minhash; equal for any two docs sharing their minimal
     * shingle, cheap first-pass near-dup key. */
   def minShingleFingerprint(text: Column, n: Int): Column =
-    array_min(transform(shingles(tokens(normalize(text)), n),
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+    array_min(transform(shingles(tokens(normalize(text)), n), s => portableHash(s)))
 
   /** Tiny per-language stopword lists for the n-gram/stopword language
     * heuristic. Deterministic, oracle-expressible. */

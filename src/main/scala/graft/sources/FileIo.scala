@@ -49,8 +49,12 @@ object FileIo {
   private def csvCommon(o: TextOptions): Map[String, String] = Map(
     "sep" -> o.delimiter,
     "header" -> o.header.toString,
-    "nullValue" -> o.nullFormat,
-    "encoding" -> o.encoding)
+    "nullValue" -> o.nullFormat) ++
+    // only pass encoding when non-default: an explicit charset (even UTF-8)
+    // flips Spark's CSV onto the per-line decode path, which stops counting
+    // structurally-excess rows as malformed (breaks DROPMALFORMED/_corrupt)
+    (if (o.encoding.equalsIgnoreCase("UTF-8")) Map.empty
+     else Map("encoding" -> o.encoding))
 
   def writeCsv(df: DataFrame, path: String, o: TextOptions = TextOptions(),
       writeMode: String = "truncate"): Unit =
@@ -65,16 +69,28 @@ object FileIo {
 
   /** Schema-d CSV scan. `constCols` replicates the reference's constant
     * `{value: ...}` column specs (`UnstructuredStorageReaderUtil.java:
-    * 434-449`) as `lit()` projections. `dirtyTo`: rows that fail the schema
-    * land in a `_corrupt` column and are split out (PERMISSIVE mode), the
-    * F8 dirty-collection analogue — pass None to drop them (DROPMALFORMED).
-    */
+    * 434-449`) as `lit()` projections.
+    *
+    * `keepCorrupt = false` (default): malformed rows are dropped
+    * (DROPMALFORMED). `keepCorrupt = true`: PERMISSIVE mode with the raw
+    * malformed line kept in a `_corrupt` string column — the F8
+    * dirty-collection analogue; route `_corrupt IS NOT NULL` rows to a
+    * dead-letter sink and filter them out of the clean path. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       o: TextOptions = TextOptions(),
-      constCols: Seq[(String, Column)] = Nil): DataFrame = {
-    val base = spark.read.options(csvCommon(o))
-      .option("mode", "DROPMALFORMED")
-      .schema(schema).csv(path)
+      constCols: Seq[(String, Column)] = Nil,
+      keepCorrupt: Boolean = false): DataFrame = {
+    val reader = spark.read.options(csvCommon(o))
+    val base =
+      if (keepCorrupt)
+        // cached: Spark refuses filters that reference only the corrupt
+        // column of a raw file scan, and the dirty-split pattern reads the
+        // batch twice (clean + dead-letter) anyway
+        reader.option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+          .csv(path).cache()
+      else reader.option("mode", "DROPMALFORMED").schema(schema).csv(path)
     constCols.foldLeft(base) { case (df, (name, c)) => df.withColumn(name, c) }
   }
 
@@ -90,6 +106,8 @@ object FileIo {
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
       o: TextOptions = TextOptions()): DataFrame =
     spark.read
+      .option("encoding", o.encoding)
+      // no timestampFormat on read: the lenient ISO parser keeps micros
       .option("mode", "DROPMALFORMED")
       .schema(schema).json(path)
 

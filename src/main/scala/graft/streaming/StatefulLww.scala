@@ -28,9 +28,16 @@ import graft.model.Model.ChangeEvent
   */
 object StatefulLww {
 
-  private def newer(a: ChangeEvent, b: ChangeEvent): Boolean =
-    a.event_ts.getTime > b.event_ts.getTime ||
-      (a.event_ts.getTime == b.event_ts.getTime && a.seq > b.seq)
+  /** Full microsecond precision — Timestamp.getTime alone truncates to
+    * millis and would diverge from the table path's struct comparison
+    * ([[graft.operators.Lww.latest]]) on sub-millisecond event times. */
+  private def epochMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def newer(a: ChangeEvent, b: ChangeEvent): Boolean = {
+    val (am, bm) = (epochMicros(a.event_ts), epochMicros(b.event_ts))
+    am > bm || (am == bm && a.seq > b.seq)
+  }
 
   /** Process one key's new events against its stored winner. */
   private[streaming] def updateKey(
@@ -52,7 +59,7 @@ object StatefulLww {
     improved.foreach { w =>
       state.update(w)
       if (state.getCurrentWatermarkMs() > 0 || stateTtlMs > 0)
-        state.setTimeoutTimestamp(
+        state.setTimeoutTimestamp( // timeout API is millis-based
           math.max(w.event_ts.getTime, state.getCurrentWatermarkMs()) + stateTtlMs)
     }
     improved.iterator

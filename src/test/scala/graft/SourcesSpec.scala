@@ -99,6 +99,25 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] { FileIo.writeOrc(df, s"$root/t", "bogus") }
   }
 
+  test("readCsv keepCorrupt routes malformed rows to a _corrupt column") {
+    val root = tmpDir("corrupt")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("n", IntegerType)))
+    // the malformed row has EXTRA columns — in Spark 4's CSV contract both
+    // missing trailing fields and unparseable field values merely become
+    // nulls; only structural excess marks a record malformed
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "data.csv"), "1,10\n2,20,junk,extra\n3,30\n")
+    val kept = FileIo.readCsv(spark, s"$root/data.csv", schema, keepCorrupt = true)
+    assert(kept.filter(col("_corrupt").isNotNull).count() === 1)
+    assert(kept.filter(col("_corrupt").isNull).count() === 2)
+    // default: malformed rows silently dropped. NB collect(), not count():
+    // a CSV count() prunes every column, the parser never runs, and
+    // DROPMALFORMED has nothing to drop — documented Spark behavior
+    val dropped = FileIo.readCsv(spark, s"$root/data.csv", schema)
+    assert(dropped.collect().length === 2)
+  }
+
   // ------------------------------------------------------------ masking
 
   test("credential-shaped config keys are masked") {
