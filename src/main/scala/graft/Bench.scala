@@ -148,7 +148,7 @@ object Bench {
     // stalls; min wall time estimates uncontended hardware), fresh session
     // per level, untimed warmup first (JIT + codegen are per-session).
     val nLow = math.max(cpus / 4, 1)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt
     val thr = Seq(nLow, cpus).map { c =>
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       val s = session(c)

@@ -138,7 +138,9 @@ object SparkEntry {
       // parse-or-dirty: JSON prop k; dirty rows (null parse) routed out,
       // clean rows pass — the F8/F9 dirty-collection analogue as a query
       ev.select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          // try_cast: under ANSI mode (Spark 4 default) a plain cast would
+          // ABORT the job on the first non-numeric k instead of nulling it
+          expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
         .filter(col("k").isNotNull && pmod(col("k"), lit(7)) =!= 0)
         .orderBy("event_id")
     }),
@@ -380,11 +382,13 @@ object SparkEntry {
       WHERE NOT coalesce(regexp_full_match(event_type, 'err.*'), false)
       ORDER BY event_id""",
 
+    // TRY_CAST: a non-numeric k must become null (= the Spark cast
+    // semantics) rather than abort the oracle query
     "etl_dirty_gate" -> """
-      SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
       FROM events
-      WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
-        AND CAST(json_extract_string(props, '$.k') AS INT) % 7 <> 0
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+        AND TRY_CAST(json_extract_string(props, '$.k') AS INT) % 7 <> 0
       ORDER BY event_id""",
 
     "text_token_stats" -> """

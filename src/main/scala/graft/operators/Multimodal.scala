@@ -56,9 +56,9 @@ object Multimodal {
       .withColumn("kind_i", pmod(xxhash64(col("id"), lit("k")), lit(3)).cast("int"))
       .withColumn("kind", element_at(kinds, col("kind_i") + 1))
       .withColumn("format", element_at(fmts, col("kind_i") + 1))
-      // blob: 64–1088 deterministic pseudo-random bytes
+      // blob: 64–1088 deterministic pseudo-random bytes (16..272 words of 4)
       .withColumn("blob", unhex(concat_ws("",
-        transform(sequence(lit(0), pmod(xxhash64(col("id"), lit("len")), lit(64)) + 1),
+        transform(sequence(lit(0), pmod(xxhash64(col("id"), lit("len")), lit(257)) + 15),
           i => lpad(hex(pmod(xxhash64(col("id"), i), lit(4294967296L))), 8, "0")))))
       .select(
         col("id").as("media_id"),

@@ -20,6 +20,9 @@ object Skew {
   /** Add a `_salt` column sized per bucket: buckets whose row count exceeds
     * `targetRowsPerTask` get `ceil(count / target)` salt slots, others 1.
     * The per-bucket counts are a small aggregate broadcast back in.
+    * NB: computes `df` twice (counts + join) — persist upstream lineage
+    * before calling, or derive slots from stats you already have and salt
+    * inline as the merge path does (`Icelite.writeBucketed`).
     */
   def saltByBucket(df: DataFrame, bucketCol: String, targetRowsPerTask: Long,
       saltOrdCols: Seq[String]): DataFrame = {

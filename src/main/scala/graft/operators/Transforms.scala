@@ -41,8 +41,10 @@ object Transforms {
     * regex in the reference (Java `String.matches`). Range ops never match
     * null (`FilterTransformer.java:206-212`) → null rows are kept. */
   def keepFilter(c: Column, op: String, value: String): Column = {
-    // reference `like` is Java String.matches = FULL match, not find
-    val full = s"^(?:$value)$$"
+    // reference `like` is Java String.matches = FULL match, not find.
+    // \A..\z, not ^..$: `$` also matches before a trailing line terminator,
+    // which String.matches (and DuckDB regexp_full_match) do not allow
+    val full = s"\\A(?:$value)\\z"
     val matched: Column = op match {
       case "like"     => c.rlike(full)
       case "not like" => !c.rlike(full)

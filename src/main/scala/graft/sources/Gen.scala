@@ -40,7 +40,10 @@ object Gen {
       .withColumn("conv_n",
         when(col("hot"), pmod(h("conv"), lit(cfg.hotConvs.toLong)))
           .otherwise(pmod(h("conv"), lit(cfg.convs))))
-      .withColumn("conv_id", concat(lit("c"), lpad(col("conv_n").cast("string"), 8, "0")))
+      // pad width sized to the key space: Spark's lpad TRUNCATES a longer
+      // string, which would silently collide distinct conversations
+      .withColumn("conv_id", concat(lit("c"), lpad(col("conv_n").cast("string"),
+        math.max(8, cfg.convs.toString.length), "0")))
       .withColumn("turn_idx", pmod(h("turn"), lit(cfg.maxTurns.toLong)).cast("int"))
       .withColumn("op",
         when(col("r") < 70, "I").when(col("r") < 95, "U").otherwise("D"))

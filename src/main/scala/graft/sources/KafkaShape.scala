@@ -65,6 +65,8 @@ object KafkaShape {
     * null columns rather than failing mid-stream. */
   def writerOrder(df: DataFrame, order: Seq[String]): DataFrame =
     df.select(order.map { n =>
-      if (df.columns.contains(n)) col(n) else lit(null).as(n)
+      // typed null: an untyped NullType column is rejected by every
+      // parquet/orc/csv writer downstream
+      if (df.columns.contains(n)) col(n) else lit(null).cast("string").as(n)
     }: _*)
 }

@@ -41,6 +41,7 @@ class MultimodalSpec extends SparkSpec {
     val rows = frames.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getInt(1) % 2 == 0)) // only even frame indices
+    assert(rows.exists(_.getInt(1) > 0)) // multi-frame sampling genuinely exercised
     val videos = media.filter(col("meta.kind") === "video").count()
     assert(frames.select("media_id").distinct().count() === videos)
   }
