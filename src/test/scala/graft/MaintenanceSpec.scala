@@ -189,6 +189,12 @@ class MaintenanceSpec extends SparkSpec {
     val live = Icelite.load(spark, cfg.tablePath).read()
     assert(live.count() === 2)
 
+    // replaying the SAME batch (checkpoint recovery) must not re-append
+    // dead-letter rows — the idempotence pre-check runs before the gate
+    val replay = Ingest.applyBatch(spark, cfg, batchOf(good ++ bad: _*), 0L)
+    assert(replay.skipped)
+    assert(spark.read.parquet(dl).count() === 2)
+
     // 3 dirty of 4 > 50% ⇒ gate trips, nothing merged, dead-letter kept
     val mostlyBad = batchOf(
       ev("I", "c2", 0, "ok", 3, 60),
