@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.Icelite
+import graft.streaming.Ingest
+
+/** CLI entry point — the `python datax.py job.json` analogue
+  * (`core/.../Engine.java:201-221`; container flow `JobContainer.java:
+  * 96-182`). The job is described as key=value args instead of a JSON
+  * plugin tree; run under spark-submit for a real cluster, or
+  * `sbt "runMain graft.tools.IngestMain ..."` locally.
+  *
+  * Required: binlog=<dir> table=<dir> checkpoint=<dir>
+  * Optional: writerId=<id> (default "cli") buckets=<n> (default 32)
+  *   mode=stream|batch (default stream) maxFilesPerTrigger=<n>
+  *   deadLetterDir=<dir> errorPctLimit=<0..1> metricsDir=<dir>
+  *   dryRun=true compactThreshold=<n> dedupDeltaWrites=true
+  *   password/accessKey-shaped keys are masked in the echoed config (F13).
+  */
+object IngestMain {
+
+  def parse(args: Array[String]): Map[String, String] =
+    args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"expected key=value, got '$a'")
+      a.substring(0, i) -> a.substring(i + 1)
+    }.toMap
+
+  def configFrom(kv: Map[String, String]): Ingest.Config = {
+    def req(k: String) = kv.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required arg $k=<value>"))
+    Ingest.Config(
+      tablePath = req("table"),
+      checkpointDir = req("checkpoint"),
+      writerId = kv.getOrElse("writerId", "cli"),
+      buckets = kv.getOrElse("buckets", "32").toInt,
+      opts = Icelite.Options(
+        compactThreshold = kv.getOrElse("compactThreshold", "8").toInt,
+        dedupDeltaWrites = kv.getOrElse("dedupDeltaWrites", "false").toBoolean),
+      maxFilesPerTrigger = kv.getOrElse("maxFilesPerTrigger", "8").toInt,
+      deadLetterDir = kv.get("deadLetterDir"),
+      errorPctLimit = kv.getOrElse("errorPctLimit", "1.0").toDouble,
+      metricsDir = kv.get("metricsDir"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val kv = parse(args)
+    val cfg = configFrom(kv)
+    val binlog = kv.getOrElse("binlog",
+      throw new IllegalArgumentException("missing required arg binlog=<dir>"))
+    println("[ingest] config: " + Masking.mask(kv).toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString(" "))
+
+    // under spark-submit the master comes from the submit args (spark.master
+    // is set); standalone runs fall back to local
+    val builder = SparkSession.builder()
+      .appName(s"graft-ingest-${cfg.writerId}")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(kv.getOrElse("master", "local[8]"))).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      Ingest.dryRun(spark, cfg, binlog).foreach(c => println(s"[ingest] check: $c"))
+      if (kv.get("dryRun").contains("true")) {
+        println("[ingest] dryRun=true — validation only, no data moved")
+        return
+      }
+      kv.getOrElse("mode", "stream") match {
+        case "stream" => Ingest.runStream(spark, cfg, binlog)
+        case "batch" =>
+          val all = graft.sources.Changelog.readBinlog(spark, binlog)
+          val segs = all.select("seg").distinct().collect().map(_.getInt(0)).sorted
+          Ingest.replay(spark, cfg, segs.toSeq.map(sg =>
+            all.filter(org.apache.spark.sql.functions.col("seg") === sg)))
+        case other => throw new IllegalArgumentException(s"mode=$other")
+      }
+      val t = Icelite.load(spark, cfg.tablePath)
+      val s = t.snapshot()
+      println(s"[ingest] done: snapshot=${s.snapshotId} lastBatchId=${s.lastBatchId} " +
+        s"files=${s.files.size} rows=${t.read().count()}")
+    } finally spark.stop()
+  }
+}

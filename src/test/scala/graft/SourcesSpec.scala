@@ -118,6 +118,25 @@ class SourcesSpec extends SparkSpec {
     assert(dropped.collect().length === 2)
   }
 
+  // ------------------------------------------------------------ cli config
+
+  test("IngestMain parses key=value args into a job config") {
+    import graft.tools.IngestMain
+    val kv = IngestMain.parse(Array(
+      "binlog=/b", "table=/t", "checkpoint=/c", "buckets=64",
+      "deadLetterDir=/dl", "errorPctLimit=0.25", "dedupDeltaWrites=true",
+      "note=a=b")) // values may contain '='
+    assert(kv("note") === "a=b")
+    val cfg = IngestMain.configFrom(kv)
+    assert(cfg.tablePath === "/t" && cfg.buckets === 64)
+    assert(cfg.deadLetterDir === Some("/dl") && cfg.errorPctLimit === 0.25)
+    assert(cfg.opts.dedupDeltaWrites)
+    intercept[IllegalArgumentException] {
+      IngestMain.configFrom(Map("table" -> "/t")) // checkpoint missing
+    }
+    intercept[IllegalArgumentException] { IngestMain.parse(Array("novalue")) }
+  }
+
   // ------------------------------------------------------------ masking
 
   test("credential-shaped config keys are masked") {
