@@ -185,7 +185,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
           TextOps.fingerprint(col("text")).as("fp"),
-          TextOps.minShingleFingerprint(col("text"), 3).as("minfp"))
+          TextOps.minShingleFingerprint(col("text"), 3).as("minfp"),
+          TextOps.rollingHash(col("text")).as("rh"))
         .orderBy("doc_id")),
 
     // ------------------------------------------------ dedup (documents)
@@ -444,9 +445,12 @@ object SparkEntry {
 
     "text_fingerprint" -> """
       SELECT doc_id, fp,
-        list_min([('0x' || substr(md5(s), 1, 15))::BIGINT FOR s IN shs]) AS minfp
+        list_min([('0x' || substr(md5(s), 1, 15))::BIGINT FOR s IN shs]) AS minfp,
+        list_reduce(
+          list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN string_split(norm, '')]),
+          (a, b) -> (a * 131 + b) % 2147483647) AS rh
       FROM (
-        SELECT doc_id, md5(norm) AS fp,
+        SELECT doc_id, md5(norm) AS fp, norm,
           [array_to_string(t[i+1:i+3], ' ') FOR i IN range(greatest(len(t)-2, 1))] AS shs
         FROM (SELECT doc_id,
                 regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,

@@ -52,6 +52,15 @@ object TextOps {
   /** Exact-content fingerprint (md5 of normalized text). */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Polynomial rolling hash (Karp-Rabin) of the normalized text:
+    * h = fold(chars, h*B + codepoint mod M), B=131, M=2^31-1. The
+    * incremental-update fingerprint family real pipelines use for
+    * streaming/windowed dedup; here the whole-document variant, with the
+    * same left-to-right fold in the DuckDB oracle (list_reduce). */
+  def rollingHash(text: Column): Column =
+    aggregate(split(normalize(text), ""), lit(0L),
+      (acc, c) => (acc * 131L + ascii(c)) % 2147483647L)
+
   /** Winnowing-style robust fingerprint: the minimum shingle hash — a
     * 1-permutation minhash; equal for any two docs sharing their minimal
     * shingle, cheap first-pass near-dup key. */
