@@ -25,6 +25,27 @@ import graft.streaming.Ingest
   */
 object Bench {
 
+  /** Tallies executor task metrics (shuffle bytes, spill) across a timed
+    * section. Bytes moved per event is the quantitative form of the
+    * scaling story: in the bandwidth-bound regime every shuffle byte
+    * removed converts directly into N→4N scaling headroom, and spill=0
+    * evidences that partitions are sized to memory at this SF. */
+  final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+      }
+    }
+  }
+
   /** Bench scratch space: prefer tmpfs so the measurement isolates engine
     * throughput from sandbox virtio-disk writeback stalls (order-100ms
     * pauses that dwarf task times). Real deployments write to distributed
@@ -101,10 +122,19 @@ object Bench {
       val binlog = time(s"binlog_write_$tag") {
         writeBenchBinlog(spark, events, hot, work)
       }
+      val tally = new ShuffleTally
+      spark.sparkContext.addSparkListener(tally)
       val (secs, rows) = replayBinlog(spark, binlog, work, cpus)
+      spark.sparkContext.removeSparkListener(tally)
       results(s"cdc_apply_$tag") = secs
       extra(s"events_per_sec_$tag") = events / secs
       extra(s"final_rows_$tag") = rows.toDouble
+      extra(s"shuffle_write_mb_$tag") = tally.shuffleWrite.get / 1e6
+      extra(s"shuffle_write_bytes_per_event_$tag") =
+        tally.shuffleWrite.get.toDouble / events
+      extra(s"shuffle_read_mb_$tag") = tally.shuffleRead.get / 1e6
+      extra(s"spill_disk_mb_$tag") = tally.spillDisk.get / 1e6
+      extra(s"spill_mem_mb_$tag") = tally.spillMem.get / 1e6
       if (tag == "uniform") { uniformWork = work; uniformBinlog = binlog } // kept for scaling
       else org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     }
@@ -193,11 +223,17 @@ object Bench {
     val total = results.values.sum
     def fmt(m: scala.collection.Map[String, Double]) =
       m.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
       s""""queries":${fmt(results)},"throughput":${fmt(extra)},""" +
       s""""scaling":{"n_low":$nLow,"n_high":$cpus,""" +
       f""""thr_low":${thr(0)}%.0f,"thr_high":${thr(1)}%.0f,"efficiency":$eff%.3f,""" +
       f""""hw_cpu_ceiling":$hwEff%.3f,"efficiency_vs_ceiling":${eff / hwEff}%.3f},""" +
-      s""""bench_events":$events,"cpus":$cpus,"sf":"$sfDir"}""")
+      s""""bench_events":$events,"cpus":$cpus,"sf":"$sfDir"}"""
+    // stdout gets wrapped in sbt [info] decoration, which broke the
+    // driver's JSON parse in round 1 — ALSO write the line to a file
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
   }
 }

@@ -218,8 +218,10 @@ object SparkEntry {
       Ann.bruteForceTopKFast(embs(s, dir), "vec_id", "embedding", 5)
         .orderBy("id", "rank")),
 
-    // approximate by construction — rows-only check (no oracle entry);
-    // recall vs brute force is asserted in OperatorsSpec
+    // approximate by construction but fully deterministic: the hyperplanes
+    // are md5-derived, so the oracle replicates the exact bucketing and
+    // the result is hash-checked end to end; recall vs brute force is
+    // additionally asserted in OperatorsSpec
     "ann_lsh_topk" -> ((s, dir) =>
       Ann.lshTopK(embs(s, dir), "vec_id", "embedding", 5)
         .orderBy("id", "rank")),
@@ -229,14 +231,16 @@ object SparkEntry {
       Ann.cosinePairs(embs(s, dir), "vec_id", "embedding", 0.4)
         .orderBy("id_a", "id_b")),
 
-    // IVF ANN — approximate by construction, rows-only check; recall vs
-    // brute force asserted in OperatorsSpec
+    // IVF ANN — approximate by construction but deterministic (min-id
+    // centroids), so the oracle replicates the exact list assignment and
+    // the result is hash-checked; recall asserted in OperatorsSpec
     "ann_ivf_topk" -> ((s, dir) =>
       Ann.ivfTopK(embs(s, dir), "vec_id", "embedding", 5)
         .orderBy("id", "rank")),
 
-    // multimodal pipeline (rows-only: blob derivation is xxhash-based,
-    // engine-internal; determinism + batching asserted in MultimodalSpec)
+    // multimodal pipeline — blob bytes are md5-derived (portable), so the
+    // oracle regenerates the exact blobs and checksums in SQL; partition
+    // batching + determinism additionally asserted in MultimodalSpec
     "mm_decode_features" -> ((s, _) => {
       implicit val sp = s
       Multimodal.decodeImage(Multimodal.syntheticMedia(s, 2000))
@@ -285,7 +289,7 @@ object SparkEntry {
 
   /** tf-weighted token rows (one per (doc, token)) feeding simhash. */
   private val duckSimhash = """
-    SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+    SELECT id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
     FROM (
       SELECT id, j, sum(tf * (((h >> j) % 2) * 2 - 1)) AS s
       FROM (
@@ -508,6 +512,117 @@ object SparkEntry {
       SELECT id, rank, neighbor_id, round(cos, 6) AS cos
       FROM ranked WHERE rank <= 5 ORDER BY id, rank""",
 
+    // exact replication of Ann.lshTopK (planes=4, tables=8, k=5): the
+    // hyperplane components are ('0x'||substr(md5("t_p_d"),1,15))::BIGINT
+    // % 2000 / 1000.0 - 1.0 — identical doubles to the engine's literals,
+    // so buckets, candidates and cosines all match bitwise
+    "ann_lsh_topk" -> """
+      WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings),
+      dims AS (SELECT len(v) AS nd FROM v LIMIT 1),
+      planes AS (
+        SELECT t, p,
+          [(('0x' || substr(md5(t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+            % 2000) / 1000.0 - 1.0 FOR d IN range(nd)] AS w
+        FROM (SELECT unnest(range(8)) AS t), (SELECT unnest(range(4)) AS p), dims),
+      codes AS (
+        SELECT v.id, pl.t AS tbl,
+          CAST(sum(CASE WHEN list_dot_product(v.v, pl.w) >= 0
+                   THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bkt
+        FROM v, planes pl GROUP BY v.id, pl.t),
+      cand AS (
+        SELECT DISTINCT a.id, b.id AS neighbor_id
+        FROM codes a JOIN codes b
+          ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.id <> b.id),
+      scored AS (
+        SELECT c.id, c.neighbor_id,
+          list_dot_product(va.v, vb.v) / (va.norm * vb.norm) AS cos
+        FROM cand c JOIN v va ON va.id = c.id JOIN v vb ON vb.id = c.neighbor_id),
+      ranked AS (
+        SELECT id, neighbor_id, cos, row_number() OVER (
+          PARTITION BY id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT id, rank, neighbor_id, round(cos, 6) AS cos
+      FROM ranked WHERE rank <= 5 ORDER BY id, rank""",
+
+    // exact replication of Ann.ivfTopK (nlist=16, nProbe=4, k=5):
+    // centroids = 16 smallest ids, assignment = rank-1 centroid by
+    // (ccos desc, cid asc), probes = rank ≤ 4
+    "ann_ivf_topk" -> """
+      WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings),
+      cents AS (SELECT id AS cid, v AS cv, norm AS cnorm FROM v ORDER BY id LIMIT 16),
+      cc AS (
+        SELECT v.id, c.cid, list_dot_product(v.v, c.cv) / (v.norm * c.cnorm) AS ccos
+        FROM v, cents c),
+      ranked AS (
+        SELECT id, cid, row_number() OVER (
+          PARTITION BY id ORDER BY ccos DESC, cid ASC) AS crank
+        FROM cc),
+      lists AS (SELECT cid AS list_id, id FROM ranked WHERE crank = 1),
+      probes AS (SELECT id, cid AS list_id FROM ranked WHERE crank <= 4),
+      cand AS (
+        SELECT DISTINCT p.id, l.id AS neighbor_id
+        FROM probes p JOIN lists l ON p.list_id = l.list_id AND p.id <> l.id),
+      scored AS (
+        SELECT c.id, c.neighbor_id,
+          list_dot_product(va.v, vb.v) / (va.norm * vb.norm) AS cos
+        FROM cand c JOIN v va ON va.id = c.id JOIN v vb ON vb.id = c.neighbor_id),
+      ranked2 AS (
+        SELECT id, neighbor_id, cos, row_number() OVER (
+          PARTITION BY id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT id, rank, neighbor_id, round(cos, 6) AS cos
+      FROM ranked2 WHERE rank <= 5 ORDER BY id, rank""",
+
+    // regenerates Multimodal.syntheticMedia's md5-derived blobs byte-for-
+    // byte in SQL: nwords = h('_len') % 257 + 16 4-byte big-endian words,
+    // checksum = Karp-Rabin fold (h*131 + b) % (2^31-1) over the bytes
+    "mm_decode_features" -> """
+      WITH ids AS (SELECT unnest(range(2000)) AS id),
+      m AS (
+        SELECT id,
+          ['image','audio','video'][CAST(('0x' || substr(md5(id::VARCHAR || '_k'), 1, 15))::BIGINT % 3 AS INT) + 1] AS kind,
+          ('0x' || substr(md5(id::VARCHAR || '_len'), 1, 15))::BIGINT % 257 + 16 AS nwords
+        FROM ids),
+      words AS (
+        SELECT id, kind, nwords, unnest(range(nwords)) AS i FROM m),
+      wb AS (
+        SELECT id, kind, nwords, i,
+          ('0x' || substr(md5(id::VARCHAR || '_' || i::VARCHAR), 1, 15))::BIGINT % 4294967296 AS w
+        FROM words),
+      bytes AS (
+        SELECT id, kind, nwords,
+          flatten(list([w // 16777216 % 256, w // 65536 % 256,
+                        w // 256 % 256, w % 256] ORDER BY i)) AS bs
+        FROM wb GROUP BY id, kind, nwords)
+      SELECT id AS media_id, kind, CAST(nwords * 4 AS BIGINT) AS n_bytes,
+        list_reduce(list_prepend(0::BIGINT, bs),
+          (a, b) -> (a * 131 + b) % 2147483647) AS checksum
+      FROM bytes ORDER BY media_id""",
+
+    // video blobs (kind_i = 2): n_frames = max(bytes/256, 1), every 2nd
+    // frame sampled; last frame truncated when the blob is < 256 bytes
+    "mm_frame_sample" -> """
+      WITH ids AS (SELECT unnest(range(2000)) AS id),
+      m AS (
+        SELECT id,
+          ('0x' || substr(md5(id::VARCHAR || '_k'), 1, 15))::BIGINT % 3 AS kind_i,
+          (('0x' || substr(md5(id::VARCHAR || '_len'), 1, 15))::BIGINT % 257 + 16) * 4 AS nbytes
+        FROM ids),
+      vids AS (
+        SELECT id, nbytes, greatest(nbytes // 256, 1) AS nf
+        FROM m WHERE kind_i = 2),
+      frames AS (
+        SELECT id, nbytes, unnest(range(0, nf, 2)) AS idx FROM vids)
+      SELECT id AS media_id, count(*) AS n_frames,
+        CAST(sum(least(256, nbytes - idx * 256)) AS BIGINT) AS sampled_bytes
+      FROM frames GROUP BY id ORDER BY media_id""",
+
     "ann_cosine_dup" -> """
       WITH v AS (
         SELECT vec_id AS id, embedding::DOUBLE[] AS v,
@@ -522,7 +637,7 @@ object SparkEntry {
     "sql_passthrough" -> sqlPassthroughText,
 
     "docs_by_source" -> """
-      SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         min(doc_id) AS min_doc
       FROM documents GROUP BY 1, 2 ORDER BY source, lang""")
 }

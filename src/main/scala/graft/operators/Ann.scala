@@ -57,10 +57,19 @@ object Ann {
     * primitive-array loops instead of interpreted `aggregate`/`zip_with`
     * expression trees. Arithmetic is the same left-to-right double fold,
     * so cosines are bitwise identical to the declarative form and the
-    * DuckDB oracle. */
-  def bruteForceTopKFast(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    * DuckDB oracle.
+    *
+    * Scale guard: the corpus is `collect()`ed to the driver, which is only
+    * safe while it fits in driver memory. Corpora above `maxDriverRows`
+    * fall back to [[ivfTopK]] (bucketed, never driver-resident) instead of
+    * OOMing the driver — the caller keeps one entry point that is exact
+    * when exactness is affordable and approximate past the memory cliff. */
+  def bruteForceTopKFast(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxDriverRows: Long = 2000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    if (df.limit(math.min(maxDriverRows + 1, Int.MaxValue).toInt).count() > maxDriverRows)
+      return ivfTopK(df, idCol, vecCol, k)
     // the fast path encodes ids as Long; non-integral id columns get the
     // (identical-result) declarative path instead of a runtime crash
     val integral = df.schema(idCol).dataType match {
@@ -171,9 +180,15 @@ object Ann {
       .agg(first(col("cos")).as("cos"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    val out = cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .cache()
+    // materialize the (small, ≤ n·k rows) result so the big intermediate
+    // caches can be dropped now instead of leaking across calls
+    out.count()
+    p.unpersist(); buckets.unpersist()
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) with cosine ≥
@@ -202,7 +217,7 @@ object Ann {
       p.select(col("id"), col("v"), col("norm"),
         lit(t).as("tbl"), bucketCode(t, planes, dims).as("bkt"))
     }.reduce(_.unionByName(_)).cache()
-    buckets.as("a").join(buckets.as("b"),
+    val out = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -211,6 +226,10 @@ object Ann {
       .agg(first(col("cos")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .cache()
+    out.count() // see lshTopK: free the big caches eagerly
+    p.unpersist(); buckets.unpersist()
+    out
   }
 
   /** IVF (inverted-file) ANN top-k — the classic scale path for dense

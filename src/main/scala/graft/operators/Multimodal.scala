@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -47,19 +47,29 @@ object Multimodal {
       StructField("durationMs", LongType, nullable = false)))
   }
 
+  /** Engine↔oracle-portable 60-bit hash: first 15 hex chars of md5 —
+    * DuckDB replicates it as `('0x' || substr(md5(s), 1, 15))::BIGINT`,
+    * which is what makes the multimodal fixtures fully oracle-checkable
+    * (xxhash64 is Spark-internal and was the round-1 `no_oracle` cause). */
+  private def pHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Deterministic synthetic media table (the fixture generator): blob
-    * bytes derived from the id, metadata consistent with the blob. */
+    * bytes derived from the id via [[pHash]], metadata consistent with
+    * the blob. */
   def syntheticMedia(spark: SparkSession, n: Long): DataFrame = {
     val kinds = array(lit("image"), lit("audio"), lit("video"))
     val fmts = array(lit("png"), lit("wav"), lit("mp4"))
+    val id = col("id").cast("string")
     spark.range(n)
-      .withColumn("kind_i", pmod(xxhash64(col("id"), lit("k")), lit(3)).cast("int"))
+      .withColumn("kind_i", pmod(pHash(concat(id, lit("_k"))), lit(3)).cast("int"))
       .withColumn("kind", element_at(kinds, col("kind_i") + 1))
       .withColumn("format", element_at(fmts, col("kind_i") + 1))
       // blob: 64–1088 deterministic pseudo-random bytes (16..272 words of 4)
       .withColumn("blob", unhex(concat_ws("",
-        transform(sequence(lit(0), pmod(xxhash64(col("id"), lit("len")), lit(257)) + 15),
-          i => lpad(hex(pmod(xxhash64(col("id"), i), lit(4294967296L))), 8, "0")))))
+        transform(sequence(lit(0), pmod(pHash(concat(id, lit("_len"))), lit(257)) + 15),
+          i => lpad(hex(pmod(pHash(concat(id, lit("_"), i.cast("string"))),
+            lit(4294967296L))), 8, "0")))))
       .select(
         col("id").as("media_id"),
         col("blob"),
@@ -68,13 +78,13 @@ object Multimodal {
           col("format"),
           length(col("blob")).cast("long").as("bytes"),
           when(col("kind") === "image",
-            (pmod(xxhash64(col("id"), lit("w")), lit(1920)) + 16).cast("int"))
+            (pmod(pHash(concat(id, lit("_w"))), lit(1920)) + 16).cast("int"))
             .otherwise(lit(-1)).as("width"),
           when(col("kind") === "image",
-            (pmod(xxhash64(col("id"), lit("h")), lit(1080)) + 16).cast("int"))
+            (pmod(pHash(concat(id, lit("_h"))), lit(1080)) + 16).cast("int"))
             .otherwise(lit(-1)).as("height"),
           when(col("kind") =!= "image",
-            pmod(xxhash64(col("id"), lit("d")), lit(600000L)))
+            pmod(pHash(concat(id, lit("_d"))), lit(600000L)))
             .otherwise(lit(-1L)).as("durationMs")).as("meta"))
   }
 
@@ -96,8 +106,12 @@ object Multimodal {
         it.map { case (id, kind, blob) =>
           val bytes = if (blob == null) Array.empty[Byte] else blob
           MediaFeatures(id, kind, bytes.length.toLong,
-            checksum = bytes.foldLeft(1469598103934665603L)((h, b) =>
-              (h ^ (b & 0xff)) * 1099511628211L), // FNV-1a
+            // Karp-Rabin rolling hash mod 2^31-1 (same scheme as
+            // TextOps.rollingHash) — overflow-free, so the DuckDB oracle
+            // reproduces it exactly (FNV-1a's 64-bit wraparound can't be
+            // expressed in BIGINT arithmetic)
+            checksum = bytes.foldLeft(0L)((h, b) =>
+              (h * 131 + (b & 0xff)) % 2147483647L),
             feature = fakeDecode(bytes))
         }
       }
