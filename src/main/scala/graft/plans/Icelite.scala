@@ -106,6 +106,12 @@ object Icelite {
         * update-heavy streams where batches collapse substantially. */
       dedupDeltaWrites: Boolean = false)
 
+  /** A snapshot version we tried to commit already exists — another writer
+    * won the race. Callers either rebase + retry ([[IceliteTable.merge]],
+    * [[IceliteTable.compactAll]]) or surface it. */
+  class CommitConflictException(msg: String, cause: Throwable = null)
+    extends IllegalStateException(msg, cause)
+
   private implicit val fmts: DefaultFormats = DefaultFormats
   private[plans] val BucketCol = "bkt"
 
@@ -189,11 +195,11 @@ object Icelite {
           // pre-check existence to keep the single-writer contract (a
           // race window remains on such filesystems; documented)
           if (Files.exists(target))
-            throw new IllegalStateException(
+            throw new CommitConflictException(
               s"commit conflict: snapshot ${snap.snapshotId} already exists at $root")
           Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
         case e: java.nio.file.FileAlreadyExistsException =>
-          throw new IllegalStateException(
+          throw new CommitConflictException(
             s"commit conflict: snapshot ${snap.snapshotId} already exists at $root", e)
       }
     } finally Files.deleteIfExists(tmp)
@@ -267,6 +273,38 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     val v = latestVersion(root).getOrElse(
       throw new IllegalStateException(s"not an icelite table: $root"))
     readSnapshot(root, v)
+  }
+
+  /** Test seam: invoked immediately before each snapshot commit attempt —
+    * lets specs deterministically interleave a competing commit into the
+    * race window. No-op in production. */
+  private[graft] var beforeCommit: () => Unit = () => ()
+
+  /** Optimistic-concurrency commit (the Iceberg retry loop): try `first`;
+    * on a version conflict, re-read the latest snapshot and let `rebase`
+    * re-validate + re-target the commit onto it. `rebase` returns None to
+    * abandon (e.g. the idempotence gate is now satisfied) and throws when
+    * the conflict is not rebasable (concurrent schema change, the files
+    * this commit rewrote are gone). Returns the committed snapshot, or
+    * None if abandoned. */
+  private def commitWithRetry(first: SnapshotMeta,
+      rebase: SnapshotMeta => Option[SnapshotMeta],
+      maxRetries: Int = 5): Option[SnapshotMeta] = {
+    var attempt = first
+    var tries = 0
+    while (true) {
+      beforeCommit()
+      try { writeSnapshot(root, attempt); return Some(attempt) }
+      catch { case e: CommitConflictException =>
+        tries += 1
+        if (tries > maxRetries) throw e
+        rebase(snapshot()) match {
+          case Some(next) => attempt = next
+          case None => return None
+        }
+      }
+    }
+    None // unreachable
   }
 
   def snapshotAt(id: Long): SnapshotMeta = readSnapshot(root, id) // time travel
@@ -438,12 +476,19 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     })
 
     if (stats.isEmpty) { // empty batch: metadata-only commit advances the gate
-      val next = snap.copy(snapshotId = snap.snapshotId + 1, parentId = snap.snapshotId,
+      def buildEmpty(base: SnapshotMeta): SnapshotMeta = base.copy(
+        snapshotId = base.snapshotId + 1, parentId = base.snapshotId,
         writerId = writerId, lastBatchId = batchId, schemas = schemas,
         currentSchemaId = schemaId, committedAtMs = System.currentTimeMillis())
-      writeSnapshot(root, next)
-      return MergeStats(next.snapshotId, batchId, skipped = false, 0, 0, 0, 0, 0,
-        (System.nanoTime() - t0) / 1000000)
+      return commitWithRetry(buildEmpty(snap), latest =>
+        if (writerId == latest.writerId && batchId <= latest.lastBatchId) None
+        else if (latest.schemas != snap.schemas || latest.currentSchemaId != snap.currentSchemaId)
+          throw new CommitConflictException("concurrent schema change; cannot rebase")
+        else Some(buildEmpty(latest))) match {
+        case Some(next) => MergeStats(next.snapshotId, batchId, skipped = false, 0, 0, 0, 0, 0,
+          (System.nanoTime() - t0) / 1000000)
+        case None => MergeStats(snapshot().snapshotId, batchId, skipped = true, 0, 0, 0, 0, 0, 0)
+      }
     }
 
     val affected = stats.keySet
@@ -504,12 +549,15 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       val incoming = withB.filter(col(BucketCol).isInCollection(compactSet))
       val combined = old.map(_.unionByName(incoming)).getOrElse(incoming)
       // compaction rewrites whole buckets: slots sized by total bucket
-      // rows (existing + incoming), not just the batch
+      // rows (existing + incoming) against the ABSOLUTE per-task target —
+      // the batch-derived adaptiveTarget would let a small batch that
+      // trips compaction of a large bucket explode it into hundreds of
+      // small files (rows/adaptiveTarget tasks instead of rows/target)
       val oldRows: Map[Int, Long] = snap.files.filter(f => compactSet.contains(f.bucket))
         .groupBy(_.bucket).map { case (b, fs) => b -> fs.map(f => math.max(f.rows, 0L)).sum }
       val compactSlots = compactSet.map { b =>
         val n = oldRows.getOrElse(b, 0L) + stats.get(b).map(_._1).getOrElse(0L)
-        b -> slotsFor(n)
+        b -> math.max(1, math.ceil(n.toDouble / opts.targetRowsPerTask).toInt)
       }.toMap
       phase("compact-write", t0) {
         writeBucketed(combined, s"$root/$rel", compactSlots,
@@ -538,18 +586,34 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     }
     if (bothWrites) withB.unpersist()
 
-    val kept = snap.files.filterNot(f => compactSet.contains(f.bucket))
+    // paths this commit folds into a new base generation; a rebase is only
+    // valid while every one of them still exists in the latest snapshot
+    // (concurrently-ADDED files in the same buckets are fine — they stay,
+    // and the read path LWWs across generations)
+    val replaced = snap.files.filter(f => compactSet.contains(f.bucket)).map(_.path).toSet
     val nRows = stats.values.map(_._1).sum
     val nDel = stats.values.map(_._2).sum
-    val next = SnapshotMeta(nextId, snap.snapshotId, writerId, batchId, snap.buckets,
-      schemas, schemaId, kept ++ newFiles,
+    def buildNext(base: SnapshotMeta): SnapshotMeta = SnapshotMeta(
+      base.snapshotId + 1, base.snapshotId, writerId, batchId, base.buckets,
+      schemas, schemaId,
+      base.files.filterNot(f => replaced.contains(f.path)) ++ newFiles,
       Map("batch.rows" -> nRows.toString, "batch.deletes" -> nDel.toString,
         "buckets.touched" -> affected.size.toString,
         "buckets.compacted" -> compactSet.size.toString),
       System.currentTimeMillis())
-    writeSnapshot(root, next)
-    MergeStats(nextId, batchId, skipped = false, nRows, nRows - nDel, nDel,
-      affected.size, compactSet.size, (System.nanoTime() - t0) / 1000000)
+    commitWithRetry(buildNext(snap), latest =>
+      if (writerId == latest.writerId && batchId <= latest.lastBatchId) None
+      else if (latest.schemas != snap.schemas || latest.currentSchemaId != snap.currentSchemaId)
+        throw new CommitConflictException("concurrent schema change; cannot rebase")
+      else if (!replaced.subsetOf(latest.files.map(_.path).toSet))
+        throw new CommitConflictException(
+          "files compacted by this merge were concurrently rewritten; cannot rebase")
+      else Some(buildNext(latest))) match {
+      case Some(next) => MergeStats(next.snapshotId, batchId, skipped = false, nRows,
+        nRows - nDel, nDel, affected.size, compactSet.size,
+        (System.nanoTime() - t0) / 1000000)
+      case None => MergeStats(snapshot().snapshotId, batchId, skipped = true, 0, 0, 0, 0, 0, 0)
+    }
   }
 
   // ---------------------------------------------------------------- maintenance
@@ -557,8 +621,10 @@ class IceliteTable(val spark: SparkSession, val root: String) {
   /** Maintenance compaction: rewrite every bucket carrying delta files into
     * a single base generation (the Iceberg `rewrite_data_files` analogue).
     * Bounded per bucket; buckets without deltas are untouched. Does NOT
-    * advance the (writerId, batchId) idempotence gate — a maintenance
-    * commit can interleave with ingest batches safely. Returns the new
+    * advance the (writerId, batchId) idempotence gate, and on a commit
+    * conflict rebases onto the winner (keeping its gate fields and any
+    * files it added) — so maintenance genuinely interleaves with a
+    * concurrent ingest writer (pinned by MaintenanceSpec). Returns the new
     * snapshot id (or the current one if there was nothing to do). */
   def compactAll(opts: Options = Options(),
       dropTombstones: Boolean = false): Long = {
@@ -585,13 +651,22 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     }
     writeBucketed(df, s"$root/$rel", slots, dropTombstones)
     val newFiles = listStaged(rel, "base", snap.currentSchemaId, bucketStats)
-    val next = snap.copy(snapshotId = nextId, parentId = snap.snapshotId,
-      files = snap.files.filterNot(f => compactSet.contains(f.bucket)) ++ newFiles,
+    // rebase keeps the winner's gate fields (base.copy) and any files it
+    // added; only the exact files this compaction folded are swapped out
+    val replaced = oldFiles.map(_.path).toSet
+    def buildNext(base: SnapshotMeta): SnapshotMeta = base.copy(
+      snapshotId = base.snapshotId + 1, parentId = base.snapshotId,
+      files = base.files.filterNot(f => replaced.contains(f.path)) ++ newFiles,
       summary = Map("maintenance" -> "compact",
         "buckets.compacted" -> compactSet.size.toString),
       committedAtMs = System.currentTimeMillis())
-    writeSnapshot(root, next)
-    nextId
+    commitWithRetry(buildNext(snap), latest =>
+      if (latest.schemas != snap.schemas || latest.currentSchemaId != snap.currentSchemaId)
+        throw new CommitConflictException("concurrent schema change; cannot rebase")
+      else if (!replaced.subsetOf(latest.files.map(_.path).toSet))
+        throw new CommitConflictException(
+          "files folded by this compaction were concurrently rewritten; cannot rebase")
+      else Some(buildNext(latest))).get.snapshotId
   }
 
   /** Expire all but the newest `keepLast` snapshots and delete data files

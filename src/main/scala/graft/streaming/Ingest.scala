@@ -37,6 +37,10 @@ object Ingest {
       /** fail the batch if dirty/total exceeds this ratio — the error-limit
         * gate (F9, `core/.../util/ErrorRecordChecker.java:18-81`). */
       errorPctLimit: Double = 1.0,
+      /** fail the batch if the absolute dirty-record count exceeds this;
+        * checked BEFORE the percentage — the record limit wins, matching
+        * the reference (`ErrorRecordChecker.java:18-81`). None = off. */
+      errorRecordLimit: Option[Long] = None,
       /** mirror per-batch StreamingQueryProgress JSON here (metrics). */
       metricsDir: Option[String] = None,
       /** run once before/after the job — the reference's pre/post handlers
@@ -45,9 +49,8 @@ object Ingest {
       preHook: Option[SparkSession => Unit] = None,
       postHook: Option[SparkSession => Unit] = None)
 
-  class ErrorLimitExceeded(val dirty: Long, val total: Long, limit: Double)
-    extends RuntimeException(
-      f"dirty records $dirty/$total = ${dirty.toDouble / total}%.4f over limit $limit%.4f")
+  class ErrorLimitExceeded(val dirty: Long, val total: Long, detail: String)
+    extends RuntimeException(s"dirty records $dirty/$total $detail")
 
   /** A change row the merge cannot key or order — dirty by the same
     * definition the reference uses (unparseable / missing required fields,
@@ -127,11 +130,20 @@ object Ingest {
             count(lit(1)), count_if(col("_dirty"))).head().toSeq
             .map(v => v.asInstanceOf[Long]).toArray
           if (dirty > 0) {
+            // idempotent dead-letter write: one `_batch_id=<id>` partition
+            // dir per batch, overwritten on checkpoint retry — a batch that
+            // fails AFTER this write (limit trip, crash during merge) and
+            // replays cannot duplicate its dead-letter rows
             flagged.filter(col("_dirty")).drop("_dirty")
-              .withColumn("_batch_id", lit(batchId))
-              .write.mode("append").parquet(dl)
+              .write.mode("overwrite")
+              .parquet(s"${dl.stripSuffix("/")}/_batch_id=$batchId")
+            cfg.errorRecordLimit.foreach { lim =>
+              if (dirty > lim) // record limit wins over the percentage
+                throw new ErrorLimitExceeded(dirty, total, s"over record limit $lim")
+            }
             if (total > 0 && dirty.toDouble / total > cfg.errorPctLimit)
-              throw new ErrorLimitExceeded(dirty, total, cfg.errorPctLimit)
+              throw new ErrorLimitExceeded(dirty, total,
+                f"= ${dirty.toDouble / total}%.4f over pct limit ${cfg.errorPctLimit}%.4f")
           }
           flagged.filter(!col("_dirty")).drop("_dirty")
       }
@@ -237,11 +249,18 @@ object Ingest {
     stats
   }
 
-  /** Streaming ingest over a binlog dir; Trigger.AvailableNow drains what
-    * exists then stops (used by tests/verify); pass `continuous = true`
-    * semantics by re-running — checkpoint makes it resumable/exactly-once.
+  /** Streaming ingest over a binlog dir.
+    *
+    * The default `Trigger.AvailableNow` drains what exists then stops
+    * (tests/verify/backfill). Pass `Trigger.ProcessingTime(interval)` for
+    * the long-running production tail — the actual CDC deployment mode —
+    * optionally bounded by `stopAfterMs` (graceful stop + drain; without
+    * it the call blocks until the query is stopped externally or fails).
+    * Either way the checkpoint makes the job resumable exactly-once.
     */
-  def runStream(spark: SparkSession, cfg: Config, binlogDir: String): Unit = {
+  def runStream(spark: SparkSession, cfg: Config, binlogDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      stopAfterMs: Option[Long] = None): Unit = {
     cfg.preHook.foreach(_(spark))
     val name = s"graft-ingest-${cfg.writerId}"
     val sink = cfg.metricsDir.map { d =>
@@ -253,12 +272,18 @@ object Ingest {
       val q = src.writeStream
         .queryName(name)
         .option("checkpointLocation", cfg.checkpointDir)
-        .trigger(Trigger.AvailableNow())
+        .trigger(trigger)
         .foreachBatch { (df: DataFrame, id: Long) =>
           applyBatch(spark, cfg, df, id); ()
         }
         .start()
-      q.awaitTermination()
+      stopAfterMs match {
+        case Some(ms) =>
+          q.awaitTermination(ms)
+          if (q.isActive) q.stop()
+          q.awaitTermination()
+        case None => q.awaitTermination()
+      }
       cfg.postHook.foreach(_(spark))
     } finally sink.foreach(spark.streams.removeListener)
   }

@@ -13,8 +13,11 @@ import graft.streaming.Ingest
   *
   * Required: binlog=<dir> table=<dir> checkpoint=<dir>
   * Optional: writerId=<id> (default "cli") buckets=<n> (default 32)
-  *   mode=stream|batch (default stream) maxFilesPerTrigger=<n>
-  *   deadLetterDir=<dir> errorPctLimit=<0..1> metricsDir=<dir>
+  *   mode=stream|batch|continuous (default stream; continuous = long-
+  *   running Trigger.ProcessingTime tail, intervalMs=<ms> default 2000,
+  *   stopAfterMs=<ms> bounds the run for smoke tests)
+  *   maxFilesPerTrigger=<n> deadLetterDir=<dir> errorPctLimit=<0..1>
+  *   errorRecordLimit=<n> metricsDir=<dir>
   *   dryRun=true compactThreshold=<n> dedupDeltaWrites=true
   *   password/accessKey-shaped keys are masked in the echoed config (F13).
   */
@@ -41,6 +44,7 @@ object IngestMain {
       maxFilesPerTrigger = kv.getOrElse("maxFilesPerTrigger", "8").toInt,
       deadLetterDir = kv.get("deadLetterDir"),
       errorPctLimit = kv.getOrElse("errorPctLimit", "1.0").toDouble,
+      errorRecordLimit = kv.get("errorRecordLimit").map(_.toLong),
       metricsDir = kv.get("metricsDir"))
   }
 
@@ -69,6 +73,10 @@ object IngestMain {
       }
       kv.getOrElse("mode", "stream") match {
         case "stream" => Ingest.runStream(spark, cfg, binlog)
+        case "continuous" => Ingest.runStream(spark, cfg, binlog,
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+            kv.getOrElse("intervalMs", "2000").toLong),
+          kv.get("stopAfterMs").map(_.toLong))
         case "batch" =>
           val all = graft.sources.Changelog.readBinlog(spark, binlog)
           val segs = all.select("seg").distinct().collect().map(_.getInt(0)).sorted

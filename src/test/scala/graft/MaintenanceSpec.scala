@@ -170,6 +170,57 @@ class MaintenanceSpec extends SparkSpec {
     assert(checks2.exists(_.contains("checkpoint present")))
   }
 
+  // ------------------------------------------------------------ concurrency
+
+  test("optimistic commit retry: merge rebases over a concurrent compaction") {
+    val root = tmpDir("ccr1")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
+      opts = Icelite.Options(compactThreshold = 100)) // keep deltas around
+    Ingest.replay(spark, cfg, Seq(batchOf(
+      ev("I", "c1", 0, "a", 1, 1), ev("I", "c2", 0, "b", 1, 2))))
+    val t = Icelite.load(spark, cfg.tablePath)
+    val maint = Icelite.load(spark, cfg.tablePath)
+    val base = t.snapshot().snapshotId
+    // interleave a full compaction into the merge's commit window — the
+    // merge's first attempt conflicts and must rebase onto the new head
+    var fired = false
+    t.beforeCommit = () => if (!fired) { fired = true; maint.compactAll() }
+    val stats = t.merge(batchOf(ev("U", "c1", 0, "a2", 5, 10)), 1L, "w", cfg.opts)
+    assert(fired)
+    assert(!stats.skipped)
+    assert(stats.snapshotId === base + 2) // compaction took base+1
+    val got = t.read().select("conv_id", "turn_idx", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === Set(("c1", 0, "a2"), ("c2", 0, "b")))
+    // the maintenance commit sits between the two ingest snapshots
+    assert(t.snapshotAt(base + 1).summary.get("maintenance").contains("compact"))
+  }
+
+  test("optimistic commit retry: compaction rebases over a concurrent merge") {
+    val root = tmpDir("ccr2")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
+      opts = Icelite.Options(compactThreshold = 100))
+    Ingest.replay(spark, cfg, Seq(batchOf(
+      ev("I", "c1", 0, "a", 1, 1), ev("I", "c2", 0, "b", 1, 2))))
+    val t = Icelite.load(spark, cfg.tablePath)
+    val writer = Icelite.load(spark, cfg.tablePath)
+    var fired = false
+    t.beforeCommit = () => if (!fired) {
+      fired = true
+      writer.merge(batchOf(ev("I", "c3", 0, "c", 6, 20)), 1L, "w", cfg.opts)
+    }
+    val sid = t.compactAll()
+    assert(fired)
+    val snap = t.snapshot()
+    assert(snap.snapshotId === sid)
+    // the interleaved merge's rows AND its idempotence gate survive the
+    // rebased compaction (base.copy keeps the winner's writerId/batchId)
+    assert(snap.writerId === "w" && snap.lastBatchId === 1L)
+    val got = t.read().select("conv_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("c1", "a"), ("c2", "b"), ("c3", "c")))
+  }
+
   // ------------------------------------------------------------ dirty gate
 
   test("dirty rows route to dead-letter; clean rows merge; limit trips") {
@@ -206,6 +257,23 @@ class MaintenanceSpec extends SparkSpec {
     }
     assert(Icelite.load(spark, cfg.tablePath).read().count() === 2) // unchanged
     assert(spark.read.parquet(dl).count() === 5)
+  }
+
+  test("absolute error-record limit wins over the percentage (F9)") {
+    val root = tmpDir("reclim")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
+      deadLetterDir = Some(s"$root/dead"), errorPctLimit = 1.0,
+      errorRecordLimit = Some(1L))
+    // 2 dirty of 4 = 50% — passes the pct limit but trips the record limit
+    val batch = batchOf(
+      ev("I", "c1", 0, "a", 1, 1), ev("I", "c1", 1, "b", 1, 2),
+      ChangeEvent("X", "c9", 0, "u", "t", null, ts(1), ts(1), 50),
+      ChangeEvent(null, "c9", 1, null, null, null, ts(1), ts(1), 51))
+    val e = intercept[Ingest.ErrorLimitExceeded] {
+      Ingest.applyBatch(spark, cfg, batch, 0L)
+    }
+    assert(e.getMessage.contains("record limit"))
+    assert(spark.read.parquet(s"$root/dead").count() === 2)
   }
 
   test("pre/post hooks run around replay (reference preSql/postSql)") {

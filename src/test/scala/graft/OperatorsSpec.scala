@@ -182,6 +182,18 @@ class OperatorsSpec extends SparkSpec {
     assert(fast === slow)
   }
 
+  test("bruteForceTopKFast above the driver-row gate falls back to IVF") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // corpus (500 rows) exceeds a tiny gate ⇒ the driver collect() path
+    // must NOT run; the result is exactly the bucketed IVF fallback
+    val gated = Ann.bruteForceTopKFast(emb, "vec_id", "embedding", 5,
+        maxDriverRows = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(gated === ivf)
+  }
+
   test("IVF ANN: recall vs brute force; probing more lists helps") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bf = Ann.bruteForceTopK(emb, "vec_id", "embedding", 5)

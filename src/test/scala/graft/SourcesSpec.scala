@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.{FileIo, KafkaShape, RangeSplit}
+import graft.sources.{FileIo, Jdbc, KafkaShape, RangeSplit}
 import graft.tools.Masking
 
 /** splitPk range math, Kafka value shaping, write modes, masking, and the
@@ -52,8 +52,59 @@ class SourcesSpec extends SparkSpec {
       "pk IS NULL"))
     // string pks quote
     val sp = RangeSplit.predicates("k", Seq(("a", "m"), ("m", "z")),
-      (s: String) => s"'$s'")
+      RangeSplit.sqlString)
     assert(sp.head === "k >= 'a' AND k < 'm'" && sp.contains("k IS NULL"))
+    // embedded quotes double, so cut points stay valid SQL literals
+    assert(RangeSplit.sqlString("o'brien") === "'o''brien'")
+  }
+
+  test("quantileRanges balance a skewed pk where even ranges would not") {
+    // 90% of pks live in [0,100); a long sparse tail reaches ~112k — the
+    // shape that makes even arithmetic splitting put 9 of 10 rows in the
+    // first slice (the reference's Oracle SAMPLE path exists for this,
+    // SingleTableSplitUtil.java:293-388)
+    val pks = (0 until 9000).map(i => (i % 100).toLong) ++
+      (0 until 1000).map(i => 1000L + i * 111L)
+    val df = pks.toDF("pk")
+    val qr = RangeSplit.quantileRanges(df, "pk", 4)
+    assert(qr.nonEmpty && qr.size <= 4)
+    assert(qr.head._1 === 0L && qr.last._2 === pks.max)
+    qr.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi === lo2)
+      case _ =>
+    }
+    def cnt(r: (Long, Long), last: Boolean) =
+      pks.count(p => p >= r._1 && (if (last) p <= r._2 else p < r._2))
+    val counts = qr.zipWithIndex.map { case (r, i) => cnt(r, i == qr.size - 1) }
+    assert(counts.sum === pks.size) // slices still cover every row exactly once
+    // balanced: no slice holds the 90% an even split would give slice 0
+    assert(counts.max <= pks.size / 2, s"unbalanced: $counts")
+    // degenerate inputs
+    assert(RangeSplit.quantileRanges(Seq.empty[Long].toDF("pk"), "pk", 4) === Seq.empty)
+    assert(RangeSplit.quantileRanges(Seq(7L).toDF("pk"), "pk", 4) === Seq((7L, 7L)))
+  }
+
+  test("jdbc scan assembly: min/max SQL, slice predicates, where AND") {
+    val spec = Jdbc.Spec("jdbc:postgresql://h/db", "t_orders", "order_id", 3,
+      where = Some("status = 'OPEN'"))
+    assert(Jdbc.minMaxSql(spec) ===
+      "(SELECT MIN(order_id) AS pk_min, MAX(order_id) AS pk_max" +
+        " FROM t_orders WHERE status = 'OPEN') graft_minmax")
+    val preds = Jdbc.slicePredicates(spec, 0L, 299L)
+    assert(preds.size === 4) // 3 ranges + the IS NULL catch-all slice
+    assert(preds.head === "(order_id >= 0 AND order_id < 100) AND (status = 'OPEN')")
+    assert(preds(2) === "(order_id >= 200 AND order_id <= 299) AND (status = 'OPEN')")
+    assert(preds.last === "(order_id IS NULL) AND (status = 'OPEN')")
+    // no user filter: bare predicates
+    assert(Jdbc.slicePredicates(spec.copy(where = None), 0L, 299L).head ===
+      "order_id >= 0 AND order_id < 100")
+    // quantile variant plans off a sample frame the caller supplies
+    val sample = (0 until 100).map(i => (i % 10).toLong).toDF("order_id")
+    val qp = Jdbc.quantileSlicePredicates(spec.copy(slices = 2, where = None), sample)
+    assert(qp.size >= 2 && qp.last === "order_id IS NULL")
+    // credentials land in connection props, not in SQL text
+    val p = Jdbc.connProps(spec.copy(user = Some("u"), password = Some("s3cret")))
+    assert(p.getProperty("user") === "u" && p.getProperty("password") === "s3cret")
   }
 
   // ------------------------------------------------------------ kafka shape

@@ -95,6 +95,27 @@ class StreamingSpec extends SparkSpec {
     assert(table.snapshot().snapshotId <= snapDone + 1) // at most an empty commit
   }
 
+  test("continuous trigger (ProcessingTime) checkpoints and stops cleanly") {
+    val root = tmpDir("st-cont")
+    val ch = gen(2000).cache()
+    Changelog.writeBinlog(ch, s"$root/binlog", shards = 4, segSize = 250)
+    val cfg = Ingest.Config(s"$root/t", s"$root/c", "w-cont", buckets = 4,
+      maxFilesPerTrigger = 4)
+    // the long-running production mode, bounded for the test: fire every
+    // 100 ms, graceful stop after the window
+    Ingest.runStream(spark, cfg, s"$root/binlog",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L),
+      stopAfterMs = Some(10000L))
+    val table = Icelite.load(spark, cfg.tablePath)
+    assert(table.snapshot().snapshotId >= 1) // applied + committed batches
+    val midRows = table.read().count()
+    assert(midRows > 0)
+    // resume on the SAME checkpoint with the drain trigger: finishes the
+    // WAL exactly-once across trigger modes
+    Ingest.runStream(spark, cfg, s"$root/binlog")
+    assert(diffEmpty(table.read(), Gen.expectedFinalState(ch)))
+  }
+
   test("skewed stream (hot conversations) converges to the same state") {
     val root = tmpDir("st3")
     val ch = gen(3000, hot = 40).cache()
