@@ -89,26 +89,25 @@ object Dedup {
   private val MersennePrime = 2147483647L // 2^31-1
 
   /** Per-doc MinHash signature as an array column `sig` of length k.
-    * One aggregation: shingle rows → k permutation rows → groupBy(id, i)
-    * min — linear in corpus size, map-side combined. Permutations
-    * h_i(x) = (a_i·x + b_i) mod p over the 31-bit folded portable hash
-    * (deterministic across runs AND engines). */
+    * ONE aggregation (collect the doc's shingle hashes), then all k
+    * band minima in a single projection — no ×k row explode: the old
+    * explode→groupBy(id, i) formulation multiplied the shingle stream by
+    * k before combining, ~k× the intermediate for identical output.
+    * Permutations h_i(x) = (a_i·x + b_i) mod p over the 31-bit folded
+    * portable hash (deterministic across runs AND engines); min is
+    * order-free, so collect_list's nondeterministic order is fine. */
   def minHashSignatures(sh: DataFrame, cfg: MinHashConfig): DataFrame = {
     val base = pmod(portableHash(col("sh")), lit(MersennePrime)).as("x")
     // deterministic odd coefficients; any fixed co-prime family works
     val aArr = array((0 until cfg.numHashes).map(i => lit(2L * i + 1)): _*)
     val bArr = array((0 until cfg.numHashes).map(i => lit(40503L * i + 17L)): _*)
     sh.select(col("id"), base)
-      .select(col("id"), explode(
-        transform(sequence(lit(0), lit(cfg.numHashes - 1)),
-          i => struct(i.as("i"),
-            pmod(element_at(aArr, i + 1) * col("x") + element_at(bArr, i + 1),
-              lit(MersennePrime)).as("h")))).as("p"))
-      .groupBy(col("id"), col("p.i").as("i"))
-      .agg(min(col("p.h")).as("mh"))
-      .groupBy(col("id"))
-      .agg(array_sort(collect_list(struct(col("i"), col("mh")))).as("s"))
-      .select(col("id"), transform(col("s"), e => e("mh")).as("sig"))
+      .groupBy(col("id")).agg(collect_list(col("x")).as("xs"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(cfg.numHashes - 1)), i =>
+          array_min(transform(col("xs"), x =>
+            pmod(element_at(aArr, i + 1) * x + element_at(bArr, i + 1),
+              lit(MersennePrime))))).as("sig"))
   }
 
   /** Candidate pairs: docs sharing at least one LSH band (band = hash of a
@@ -157,13 +156,16 @@ object Dedup {
   // ------------------------------------------------------------ clustering
 
   /** Duplicate clusters from near-dup pairs: connected components by
-    * iterative min-label propagation. Each iteration is one shuffle join
-    * (edges ⋈ labels) + a min aggregation, and advances the minimum one
-    * hop — O(graph diameter) rounds. Near-dup graphs are unions of small
-    * cliques (diameter 2-3 in practice); for genuinely long chains raise
-    * `maxIters` or switch to a pointer-doubling (large-star/small-star)
-    * formulation. Throws if convergence is not reached within `maxIters` —
-    * silently returning split components would corrupt downstream dedup.
+    * min-label propagation PLUS per-round pointer jumping (path halving:
+    * `cluster(id) ← cluster(cluster(id))` — labels only decrease, so the
+    * jump is sound). Propagation alone advances the minimum one hop per
+    * round (O(diameter)); the jump makes chains collapse in O(log
+    * diameter) rounds, so pathological long chains converge too, not just
+    * the small cliques near-dup graphs usually form (pinned by the
+    * 200-node chain spec). Each round = the edges ⋈ labels join + min
+    * aggregation + one labels self-join. Throws if convergence is not
+    * reached within `maxIters` — silently returning split components
+    * would corrupt downstream dedup.
     * The canonical "keep one per cluster" reduction after any
     * pair-producing dedup ([[jaccardPairs]], [[minHashLshPairs]],
     * [[simHashPairs]], [[Ann.cosinePairs]]).
@@ -176,8 +178,12 @@ object Dedup {
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
+    // localCheckpoint each round: iterative self-joins double the LOGICAL
+    // plan per iteration (caching short-circuits execution but not
+    // analysis), so without lineage truncation planning time explodes
+    // exponentially after ~12 rounds
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).cache()
+      .withColumn("cluster", col("id")).localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -185,14 +191,21 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
-      val next = labels
+      val propagated = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .cache()
+      // pointer jump: follow the label one step (cluster ids are node ids,
+      // so the lookup is a labels self-join) and keep the smaller label
+      val jumped = propagated.as("a")
+        .join(propagated.select(col("id").as("jid"), col("cluster").as("jcluster")),
+          col("a.cluster") === col("jid"), "left")
+      val next = jumped
+        .select(col("a.id").as("id"),
+          least(col("a.cluster"), coalesce(col("jcluster"), col("a.cluster"))).as("cluster"))
+        .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") < col("old")).isEmpty
-      labels.unpersist()
       labels = next
     }
     edges.unpersist()

@@ -46,7 +46,14 @@ import graft.operators.Lww
   *    collapse before the shuffle; hot buckets are salted at write
   *    ([[graft.operators.Skew.saltByBucket]]);
   *  - the JSON manifest is the one piece that would move to an Avro/parquet
-  *    manifest-list above ~10^5 files — interface kept narrow for that swap.
+  *    manifest-list above ~10^5 files — interface kept narrow for that swap;
+  *  - bucket count is fixed at table creation (like Iceberg's bucket
+  *    transform). Size it for the TARGET scale up front: ~1 bucket per
+  *    0.5-2 GB of steady-state table, so a 100 TB table wants O(10^4-10^5)
+  *    buckets, not the 32 default (which is sized for the local bench).
+  *    Re-bucketing = create-new + full rewrite, so over-provision; small
+  *    tables with many buckets only cost manifest entries, while big
+  *    tables with few buckets serialize merges behind fat buckets.
   */
 object Icelite {
 
@@ -104,7 +111,25 @@ object Icelite {
         * collapse removes a full wide-row SortAggregate from every ingest
         * batch (max_by over a struct can only plan sort-based). Turn on for
         * update-heavy streams where batches collapse substantially. */
-      dedupDeltaWrites: Boolean = false)
+      dedupDeltaWrites: Boolean = false,
+      /** Zero-shuffle delta writes: skip the (bucket, salt) exchange and
+        * let each scan task `partitionBy(bkt)` its rows directly. ALWAYS
+        * correct (a dynamic-partition write does not depend on task
+        * layout); enable when the batch source is pre-sharded by
+        * `pmod(hash(conv_id), S)` with `buckets % S == 0` — our own binlog
+        * layout ([[graft.sources.Changelog.writeBinlog]]) — so each task
+        * holds ≤ buckets/S buckets and file counts stay bounded. This
+        * removes the ONE full-data exchange from the ingest hot path: at
+        * 10^10 events the WAL shards already co-locate keys, so shuffling
+        * them again to the same hash is pure wasted bandwidth. Skew also
+        * needs no salting here — a hot shard file simply splits into more
+        * scan tasks (`maxPartitionBytes`). NOTE the flip side: scan splits
+        * become THE parallelism unit, so the WAL must carry ≥ cores files
+        * per trigger and `spark.sql.files.maxPartitionBytes` /
+        * `openCostInBytes` must not pack small shard files into few fat
+        * splits. Only takes effect with `dedupDeltaWrites = false` (a
+        * collapse needs the exchange). */
+      alignedDeltaWrite: Boolean = false)
 
   /** A snapshot version we tried to commit already exists — another writer
     * won the race. Callers either rebase + retry ([[IceliteTable.merge]],
@@ -533,7 +558,10 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       val rel = s"data/d-$nextId-$stage"
       val part = withB.filter(col(BucketCol).isInCollection(deltaSet))
       phase("delta-write", t0) {
-        writeBucketed(part, s"$root/$rel", batchSlots, dedup = opts.dedupDeltaWrites)
+        if (opts.alignedDeltaWrite && !opts.dedupDeltaWrites)
+          part.write.partitionBy(BucketCol).parquet(s"$root/$rel")
+        else
+          writeBucketed(part, s"$root/$rel", batchSlots, dedup = opts.dedupDeltaWrites)
       }
       newFiles ++= phase("delta-list", t0) { listStaged(rel, "delta", schemaId, stats) }
     }

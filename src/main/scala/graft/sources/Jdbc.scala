@@ -86,4 +86,19 @@ object Jdbc {
       user: Option[String] = None, password: Option[String] = None): DataFrame =
     spark.read.jdbc(url, s"($sql) graft_q",
       connProps(Spec(url, "", "", 1, user, password)))
+
+  /** Cell decode to the reference's all-strings row shape
+    * (`CommonRdbmsReader.java:247-394`: every JDBC type is stringified in
+    * this fork, BLOB/BINARY → Base64 at `:346-352`). Spark's JDBC source
+    * already decodes cells into typed columns — this restores the
+    * reference's wire shape for consumers that expect it. */
+  def decodeAllStrings(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.BinaryType => base64(col(f.name)).as(f.name)
+        case _ => col(f.name).cast("string").as(f.name)
+      }
+    }.toSeq: _*)
+  }
 }

@@ -69,4 +69,18 @@ object KafkaShape {
       // parquet/orc/csv writer downstream
       if (df.columns.contains(n)) col(n) else lit(null).cast("string").as(n)
     }: _*)
+
+  /** Kafka produce rendering — the fork-added kafkawriter's value contract
+    * (`kafkawriter/.../KafkaWriter.java`: record fields joined by
+    * `fieldDelimiter`): (key, value) string columns ready for
+    * `df.writeStream.format("kafka")` where the connector jar exists.
+    * `key` = the partition key (conv_id for change streams) so one topic
+    * partition preserves per-key order — the property the CDC pipeline
+    * depends on. Nulls render as `nullFormat` to keep field positions. */
+  def render(df: DataFrame, keyCol: String, delimiter: String,
+      cols: Seq[String], nullFormat: String = ""): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      concat_ws(delimiter, cols.map(c =>
+        coalesce(col(c).cast("string"), lit(nullFormat))): _*).as("value"))
 }

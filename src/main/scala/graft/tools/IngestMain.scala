@@ -19,6 +19,8 @@ import graft.streaming.Ingest
   *   maxFilesPerTrigger=<n> deadLetterDir=<dir> errorPctLimit=<0..1>
   *   errorRecordLimit=<n> metricsDir=<dir>
   *   dryRun=true compactThreshold=<n> dedupDeltaWrites=true
+  *   alignedDeltaWrite=true (zero-shuffle delta writes — set when the
+  *   binlog shard count divides the bucket count)
   *   password/accessKey-shaped keys are masked in the echoed config (F13).
   */
 object IngestMain {
@@ -40,7 +42,8 @@ object IngestMain {
       buckets = kv.getOrElse("buckets", "32").toInt,
       opts = Icelite.Options(
         compactThreshold = kv.getOrElse("compactThreshold", "8").toInt,
-        dedupDeltaWrites = kv.getOrElse("dedupDeltaWrites", "false").toBoolean),
+        dedupDeltaWrites = kv.getOrElse("dedupDeltaWrites", "false").toBoolean,
+        alignedDeltaWrite = kv.getOrElse("alignedDeltaWrite", "false").toBoolean),
       maxFilesPerTrigger = kv.getOrElse("maxFilesPerTrigger", "8").toInt,
       deadLetterDir = kv.get("deadLetterDir"),
       errorPctLimit = kv.getOrElse("errorPctLimit", "1.0").toDouble,

@@ -49,10 +49,10 @@ object ScalingBench {
       Bench.replayBinlog(s, warmupBinlog, s"$work/warm-$cpus", cpus) // JIT warmup
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$work/warm-$cpus"))
       val runs = (1 to reps).map { r =>
-        val (secs, rows) = Bench.replayBinlog(s, binlog, s"$work/run-$cpus-$r", cpus)
+        val res = Bench.replayBinlog(s, binlog, s"$work/run-$cpus-$r", cpus)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$work/run-$cpus-$r"))
-        println(f"[scaling]   local[$cpus] rep $r: $secs%.1f s, rows=$rows")
-        secs
+        println(f"[scaling]   local[$cpus] rep $r: ${res.secs}%.1f s, rows=${res.rows}")
+        res.secs
       }
       s.stop()
       val secs = runs.min

@@ -113,6 +113,17 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters collapse a 200-node chain in O(log d) rounds") {
+    // plain one-hop propagation would need 199 rounds; pointer jumping
+    // must land the whole chain on cluster 0 within ~log2(200)+slack
+    val pairs = (0 until 199).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs, maxIters = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 200)
+    assert(out.forall(_._2 === 0L))
+  }
+
   test("simhash: identical docs equal, near-dups close, unrelated far") {
     val h = Dedup.simHash(corpus, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -83,6 +83,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"salt join shuffled:\n$plan")
   }
 
+  test("aligned delta write: near-zero shuffle, identical final state") {
+    import graft.plans.Icelite
+    import graft.sources.{Changelog, Gen}
+    import graft.streaming.Ingest
+    val root = tmpDir("aligned")
+    val ch = Gen.changelog(spark, Gen.GenConfig(events = 5000, convs = 50, hotPct = 20))
+    Changelog.writeBinlog(ch, s"$root/binlog", shards = 4, segSize = 2500)
+    val all = Changelog.readBinlog(spark, s"$root/binlog")
+    val segs = all.select("seg").distinct().collect().map(_.getInt(0)).sorted.toSeq
+    def run(tag: String, opts: Icelite.Options): (Long, DataFrame) = {
+      val tally = new Bench.ShuffleTally
+      spark.sparkContext.addSparkListener(tally)
+      val cfg = Ingest.Config(s"$root/$tag/t", s"$root/$tag/ck", tag,
+        buckets = 8, opts = opts) // 8 buckets over 4 shards: aligned (8 % 4 = 0)
+      Ingest.replay(spark, cfg, segs.map(sg => all.filter(col("seg") === sg)))
+      Thread.sleep(1000) // listener bus drains async
+      spark.sparkContext.removeSparkListener(tally)
+      (tally.shuffleWrite.get, Icelite.load(spark, cfg.tablePath).read())
+    }
+    val (alignedBytes, alignedDf) = run("al", Icelite.Options(alignedDeltaWrite = true))
+    val (saltedBytes, saltedDf) = run("sa", Icelite.Options())
+    val cols = alignedDf.columns.sorted.map(col).toSeq
+    assert(alignedDf.select(cols: _*).exceptAll(saltedDf.select(cols: _*)).isEmpty)
+    assert(saltedDf.select(cols: _*).exceptAll(alignedDf.select(cols: _*)).isEmpty)
+    // the salted path shuffles every row to its (bucket, salt); the aligned
+    // path shuffles only the tiny per-(shard, bucket) stats aggregate
+    assert(alignedBytes < saltedBytes / 5,
+      s"aligned=$alignedBytes salted=$saltedBytes")
+  }
+
   test("whole-stage codegen covers the scan + dx_filter transform stage") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = docs.select($"doc_id",

@@ -107,6 +107,29 @@ class SourcesSpec extends SparkSpec {
     assert(p.getProperty("user") === "u" && p.getProperty("password") === "s3cret")
   }
 
+  test("jdbc cell decode: all-strings shape, binary as base64 (reference S2)") {
+    val df = Seq((1L, "hi".getBytes("UTF-8"), 2.5, null.asInstanceOf[String]))
+      .toDF("id", "blob", "v", "s")
+    val out = Jdbc.decodeAllStrings(df)
+    assert(out.schema.fields.forall(_.dataType ===
+      org.apache.spark.sql.types.StringType))
+    val r = out.head()
+    assert(r.getString(0) === "1")
+    assert(r.getString(1) ===
+      java.util.Base64.getEncoder.encodeToString("hi".getBytes("UTF-8")))
+    assert(r.getString(2) === "2.5" && r.isNullAt(3))
+  }
+
+  test("kafka produce render: key + delimited value, nulls as nullFormat (W11)") {
+    val df = Seq(("c1", 0, "hello", null.asInstanceOf[String]),
+      ("c2", 1, "world", "t")).toDF("conv_id", "turn_idx", "text", "tool")
+    val out = KafkaShape.render(df, "conv_id", "|",
+      Seq("turn_idx", "text", "tool"), nullFormat = "\\N")
+    assert(out.columns.toSeq === Seq("key", "value"))
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("c1", "0|hello|\\N"), ("c2", "1|world|t")))
+  }
+
   // ------------------------------------------------------------ kafka shape
 
   test("kafka value parsing: json, split, regex, writerOrder, synthetic") {
