@@ -110,8 +110,11 @@ object Bench {
     // bucket count is a TABLE property sized by data, not by test cores:
     // fixed 64 keeps both scaling levels on the identical table layout,
     // shard-aligned (64 % 64 = 0) and below the compaction threshold
+    // cacheBatch off: the binlog batch is parquet on tmpfs — re-scanning
+    // beats materializing a row cache (flip with GRAFT_CACHE_BATCH=1)
     val cfg = Ingest.Config(s"$work/table", s"$work/ckpt", writerId = "bench",
-      buckets = 64, opts = opts)
+      buckets = 64, opts = opts,
+      cacheBatch = sys.env.get("GRAFT_CACHE_BATCH").contains("1"))
     val all = Changelog.readBinlog(spark, binlog)
     val segs = all.select("seg").distinct().collect().map(_.getInt(0)).sorted
     val tally = new ShuffleTally
