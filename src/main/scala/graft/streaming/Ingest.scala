@@ -58,7 +58,12 @@ object Ingest {
         * and preSql/postSql (F12 `JobContainer.preHandle/postHandle`,
         * W4 `CommonRdbmsWriter.java:97-137`): e.g. `s => s.sql(...)`. */
       preHook: Option[SparkSession => Unit] = None,
-      postHook: Option[SparkSession => Unit] = None)
+      postHook: Option[SparkSession => Unit] = None,
+      /** hang monitor (F11, reference `TaskMonitor.java:16-94`): stop the
+        * stream if one trigger is stuck making no progress for this long;
+        * [[runStream]] then throws so a supervisor restarts from the
+        * checkpoint (safe — exactly-once commit gate). None = off. */
+      stallTimeoutMs: Option[Long] = None)
 
   class ErrorLimitExceeded(val dirty: Long, val total: Long, detail: String)
     extends RuntimeException(s"dirty records $dirty/$total $detail")
@@ -293,13 +298,20 @@ object Ingest {
           applyBatch(spark, eff, df, id); ()
         }
         .start()
-      stopAfterMs match {
-        case Some(ms) =>
-          q.awaitTermination(ms)
-          if (q.isActive) q.stop()
-          q.awaitTermination()
-        case None => q.awaitTermination()
-      }
+      val dog = cfg.stallTimeoutMs.map(ms => new Watchdog(q, ms))
+      try {
+        stopAfterMs match {
+          case Some(ms) =>
+            q.awaitTermination(ms)
+            if (q.isActive) q.stop()
+            q.awaitTermination()
+          case None => q.awaitTermination()
+        }
+      } finally dog.foreach(_.close())
+      if (dog.exists(_.stalled))
+        throw new IllegalStateException(
+          s"ingest stalled: a trigger made no progress for ${cfg.stallTimeoutMs.get} ms " +
+            "(watchdog stopped the query; restart resumes from the checkpoint)")
       cfg.postHook.foreach(_(spark))
     } finally sink.foreach(spark.streams.removeListener)
   }

@@ -17,7 +17,8 @@ import graft.streaming.Ingest
   *   running Trigger.ProcessingTime tail, intervalMs=<ms> default 2000,
   *   stopAfterMs=<ms> bounds the run for smoke tests)
   *   maxFilesPerTrigger=<n> deadLetterDir=<dir> errorPctLimit=<0..1>
-  *   errorRecordLimit=<n> metricsDir=<dir>
+  *   errorRecordLimit=<n> metricsDir=<dir> stallTimeoutMs=<ms> (hang
+  *   monitor: fail the job if a trigger stops making progress)
   *   dryRun=true compactThreshold=<n> dedupDeltaWrites=true
   *   alignedDeltaWrite=true (zero-shuffle delta writes — set when the
   *   binlog shard count divides the bucket count)
@@ -48,7 +49,8 @@ object IngestMain {
       deadLetterDir = kv.get("deadLetterDir"),
       errorPctLimit = kv.getOrElse("errorPctLimit", "1.0").toDouble,
       errorRecordLimit = kv.get("errorRecordLimit").map(_.toLong),
-      metricsDir = kv.get("metricsDir"))
+      metricsDir = kv.get("metricsDir"),
+      stallTimeoutMs = kv.get("stallTimeoutMs").map(_.toLong))
   }
 
   def main(args: Array[String]): Unit = {

@@ -95,6 +95,38 @@ class StreamingSpec extends SparkSpec {
     assert(table.snapshot().snapshotId <= snapDone + 1) // at most an empty commit
   }
 
+  test("watchdog stops a query stuck inside one trigger; idle is healthy (F11)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Watchdog
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // healthy-idle: triggers complete (zero rows) — never stalled
+    val idle = MemoryStream[Int]
+    val qi = idle.toDS().writeStream.queryName("wd-idle")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[Int], _: Long) => () }
+      .start()
+    val dogIdle = new Watchdog(qi, stallMs = 1000, pollMs = 100)
+    try {
+      Thread.sleep(2500)
+      assert(!dogIdle.stalled && qi.isActive)
+    } finally { dogIdle.close(); qi.stop() }
+    // hung batch: foreachBatch never returns — watchdog must stop it
+    val input = MemoryStream[Int]
+    val q = input.toDS().writeStream.queryName("wd-stuck")
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[Int], _: Long) =>
+        Thread.sleep(60000)
+      }
+      .start()
+    val dog = new Watchdog(q, stallMs = 1500, pollMs = 100)
+    try {
+      input.addData(1)
+      try q.awaitTermination(30000) catch { case _: Exception => () }
+      assert(dog.stalled)
+      assert(!q.isActive)
+    } finally { dog.close(); if (q.isActive) q.stop() }
+  }
+
   test("continuous trigger (ProcessingTime) checkpoints and stops cleanly") {
     val root = tmpDir("st-cont")
     val ch = gen(2000).cache()
