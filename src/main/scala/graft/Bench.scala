@@ -101,8 +101,8 @@ object Bench {
     * cost, not an ingest cost) is excluded.
     *
     * alignedDeltaWrite is on: the bench binlog is written with
-    * `shard = pmod(hash(conv_id), 16)` and buckets is a multiple of 16 at
-    * both parallelism levels, so delta writes need no exchange — the
+    * `shard = pmod(hash(conv_id), 64)` and the table has 64 buckets
+    * (shard == bucket exactly), so delta writes need no exchange — the
     * production configuration of a WAL that shards by key hash. */
   def replayBinlog(spark: SparkSession, binlog: String, work: String,
       cpus: Int,
@@ -122,6 +122,7 @@ object Bench {
     val t0 = System.nanoTime()
     Ingest.replay(spark, cfg, segs.toSeq.map(sg => all.filter(col("seg") === sg)))
     val secs = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1000) // listener bus delivers task-end events async — drain
     spark.sparkContext.removeSparkListener(tally)
     val rows = Icelite.load(spark, cfg.tablePath).read().count()
     ReplayResult(secs, rows, tally.shuffleWrite.get, tally.spillDisk.get,
@@ -143,7 +144,7 @@ object Bench {
     }
 
     // ---- headline: CDC apply throughput, uniform + skewed -------------
-    // best-of-2 fresh-table runs per variant: run 1 pays codegen/JIT AND
+    // best-of-3 fresh-table runs per variant: run 1 pays codegen/JIT AND
     // this VM's multi-second steal stalls hit single runs hard (documented
     // in BASELINE.md); min wall time estimates uncontended hardware
     var uniformWork: String = null

@@ -81,7 +81,16 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleN: Int = 3,
-      threshold: Double = 0.8) {
+      threshold: Double = 0.8,
+      /** signature formulation. True (default) = collect each doc's
+        * shingle hashes once and compute all k minima in one projection —
+        * no ×k row explode, fastest on normal corpora. False = the
+        * explode→groupBy(id, i)→min formulation: k× the intermediate rows
+        * but CONSTANT per-group aggregation state — flip it for corpora
+        * with pathological single documents (≫10^5 shingles) where the
+        * collected list would dominate one task's memory. Identical
+        * signatures either way. */
+      perRowSignatures: Boolean = true) {
     require(numHashes % bands == 0, "bands must divide numHashes")
     def rowsPerBand: Int = numHashes / bands
   }
@@ -89,25 +98,36 @@ object Dedup {
   private val MersennePrime = 2147483647L // 2^31-1
 
   /** Per-doc MinHash signature as an array column `sig` of length k.
-    * ONE aggregation (collect the doc's shingle hashes), then all k
-    * band minima in a single projection — no ×k row explode: the old
-    * explode→groupBy(id, i) formulation multiplied the shingle stream by
-    * k before combining, ~k× the intermediate for identical output.
-    * Permutations h_i(x) = (a_i·x + b_i) mod p over the 31-bit folded
-    * portable hash (deterministic across runs AND engines); min is
-    * order-free, so collect_list's nondeterministic order is fine. */
+    * Two formulations with identical output — see
+    * [[MinHashConfig.perRowSignatures]] for the trade-off. Permutations
+    * h_i(x) = (a_i·x + b_i) mod p over the 31-bit folded portable hash
+    * (deterministic across runs AND engines); min is order-free, so
+    * collect_list's nondeterministic order is fine. */
   def minHashSignatures(sh: DataFrame, cfg: MinHashConfig): DataFrame = {
     val base = pmod(portableHash(col("sh")), lit(MersennePrime)).as("x")
     // deterministic odd coefficients; any fixed co-prime family works
     val aArr = array((0 until cfg.numHashes).map(i => lit(2L * i + 1)): _*)
     val bArr = array((0 until cfg.numHashes).map(i => lit(40503L * i + 17L)): _*)
-    sh.select(col("id"), base)
-      .groupBy(col("id")).agg(collect_list(col("x")).as("xs"))
-      .select(col("id"),
-        transform(sequence(lit(0), lit(cfg.numHashes - 1)), i =>
-          array_min(transform(col("xs"), x =>
-            pmod(element_at(aArr, i + 1) * x + element_at(bArr, i + 1),
-              lit(MersennePrime))))).as("sig"))
+    if (cfg.perRowSignatures)
+      sh.select(col("id"), base)
+        .groupBy(col("id")).agg(collect_list(col("x")).as("xs"))
+        .select(col("id"),
+          transform(sequence(lit(0), lit(cfg.numHashes - 1)), i =>
+            array_min(transform(col("xs"), x =>
+              pmod(element_at(aArr, i + 1) * x + element_at(bArr, i + 1),
+                lit(MersennePrime))))).as("sig"))
+    else
+      sh.select(col("id"), base)
+        .select(col("id"), explode(
+          transform(sequence(lit(0), lit(cfg.numHashes - 1)),
+            i => struct(i.as("i"),
+              pmod(element_at(aArr, i + 1) * col("x") + element_at(bArr, i + 1),
+                lit(MersennePrime)).as("h")))).as("p"))
+        .groupBy(col("id"), col("p.i").as("i"))
+        .agg(min(col("p.h")).as("mh"))
+        .groupBy(col("id"))
+        .agg(array_sort(collect_list(struct(col("i"), col("mh")))).as("s"))
+        .select(col("id"), transform(col("s"), e => e("mh")).as("sig"))
   }
 
   /** Candidate pairs: docs sharing at least one LSH band (band = hash of a
@@ -191,10 +211,13 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
+      // materialized: the pointer-jump self-join below would otherwise
+      // execute this edges⋈labels subtree twice (once per join side)
       val propagated = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
       // pointer jump: follow the label one step (cluster ids are node ids,
       // so the lookup is a labels self-join) and keep the smaller label
       val jumped = propagated.as("a")

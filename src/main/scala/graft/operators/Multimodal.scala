@@ -47,12 +47,11 @@ object Multimodal {
       StructField("durationMs", LongType, nullable = false)))
   }
 
-  /** Engine↔oracle-portable 60-bit hash: first 15 hex chars of md5 —
-    * DuckDB replicates it as `('0x' || substr(md5(s), 1, 15))::BIGINT`,
-    * which is what makes the multimodal fixtures fully oracle-checkable
-    * (xxhash64 is Spark-internal and was the round-1 `no_oracle` cause). */
-  private def pHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Engine↔oracle-portable 60-bit hash ([[TextOps.portableHash]] — ONE
+    * definition of the cross-engine contract), which is what makes the
+    * multimodal fixtures fully oracle-checkable (xxhash64 is
+    * Spark-internal and was the round-1 `no_oracle` cause). */
+  private def pHash(c: Column): Column = TextOps.portableHash(c)
 
   /** Deterministic synthetic media table (the fixture generator): blob
     * bytes derived from the id via [[pHash]], metadata consistent with

@@ -69,15 +69,23 @@ object Jdbc {
 
   /** The assembled parallel reader. `bounds` = known (min, max) pk;
     * None discovers them via [[minMaxSql]] first — one extra round trip,
-    * exactly like the reference. */
+    * exactly like the reference. NULL bounds (empty table / all-null pk)
+    * degrade to the lone `pk IS NULL` slice instead of crashing, and any
+    * integral pk type works (the JDBC source may map INT/SMALLINT cells
+    * to non-Long row values). */
   def scan(spark: SparkSession, spec: Spec,
       bounds: Option[(Long, Long)] = None): DataFrame = {
-    val (lo, hi) = bounds.getOrElse {
+    val resolved = bounds.orElse {
       val r = spark.read.jdbc(spec.url, minMaxSql(spec), connProps(spec)).head()
-      (r.getLong(0), r.getLong(1))
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some((r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
     }
-    spark.read.jdbc(spec.url, spec.table,
-      slicePredicates(spec, lo, hi).toArray, connProps(spec))
+    val preds = resolved match {
+      case Some((lo, hi)) => slicePredicates(spec, lo, hi)
+      case None => // no non-null pk rows: only the catch-all slice applies
+        withWhere(spec, Seq(s"${spec.pk} IS NULL"))
+    }
+    spark.read.jdbc(spec.url, spec.table, preds.toArray, connProps(spec))
   }
 
   /** querySql passthrough (`ReaderSplitUtil.java:92-102`): user-authored

@@ -140,31 +140,39 @@ object Ingest {
       else batchIn
     try {
       // dirty-record gate: split off malformed rows BEFORE the merge; one
-      // counting aggregate only when the gate is configured (hot path free)
-      val batch = cfg.deadLetterDir match {
-        case None => src
-        case Some(dl) =>
-          val flagged = src.withColumn("_dirty", dirtyCond)
-          val Array(total, dirty) = flagged.agg(
-            count(lit(1)), count_if(col("_dirty"))).head().toSeq
-            .map(v => v.asInstanceOf[Long]).toArray
-          if (dirty > 0) {
-            // idempotent dead-letter write: one `_batch_id=<id>` partition
-            // dir per batch, overwritten on checkpoint retry — a batch that
-            // fails AFTER this write (limit trip, crash during merge) and
-            // replays cannot duplicate its dead-letter rows
+      // counting aggregate only when the gate is configured (hot path
+      // free). The gate is ON whenever a dead-letter sink OR either error
+      // limit is configured — limits must fire even without a sink
+      // (reference: ErrorRecordChecker runs regardless of the collector).
+      val gateOn = cfg.deadLetterDir.isDefined ||
+        cfg.errorRecordLimit.isDefined || cfg.errorPctLimit < 1.0
+      val batch = if (!gateOn) src else {
+        val flagged = src.withColumn("_dirty", dirtyCond)
+        val Array(total, dirty) = flagged.agg(
+          count(lit(1)), count_if(col("_dirty"))).head().toSeq
+          .map(v => v.asInstanceOf[Long]).toArray
+        if (dirty > 0) {
+          // idempotent dead-letter write: one `_batch_id=<id>` partition
+          // dir per batch, overwritten on checkpoint retry — a batch that
+          // fails AFTER this write (limit trip, crash during merge) and
+          // replays cannot duplicate its dead-letter rows
+          cfg.deadLetterDir.foreach { dl =>
             flagged.filter(col("_dirty")).drop("_dirty")
               .write.mode("overwrite")
               .parquet(s"${dl.stripSuffix("/")}/_batch_id=$batchId")
-            cfg.errorRecordLimit.foreach { lim =>
-              if (dirty > lim) // record limit wins over the percentage
-                throw new ErrorLimitExceeded(dirty, total, s"over record limit $lim")
-            }
-            if (total > 0 && dirty.toDouble / total > cfg.errorPctLimit)
-              throw new ErrorLimitExceeded(dirty, total,
-                f"= ${dirty.toDouble / total}%.4f over pct limit ${cfg.errorPctLimit}%.4f")
           }
-          flagged.filter(!col("_dirty")).drop("_dirty")
+          cfg.errorRecordLimit.foreach { lim =>
+            if (dirty > lim) // record limit wins over the percentage
+              throw new ErrorLimitExceeded(dirty, total, s"over record limit $lim")
+          }
+          if (total > 0 && dirty.toDouble / total > cfg.errorPctLimit)
+            throw new ErrorLimitExceeded(dirty, total,
+              f"= ${dirty.toDouble / total}%.4f over pct limit ${cfg.errorPctLimit}%.4f")
+          if (cfg.deadLetterDir.isEmpty)
+            System.err.println(s"[ingest] batch $batchId: $dirty/$total dirty rows " +
+              "DROPPED (no deadLetterDir configured; under the error limits)")
+        }
+        flagged.filter(!col("_dirty")).drop("_dirty")
       }
       val table = ensureTable(spark, cfg, batch)
       val hasShard = batch.columns.contains("shard")

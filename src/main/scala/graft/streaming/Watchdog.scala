@@ -5,16 +5,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
 /** Hang monitor — the reference's TaskMonitor (F11, `core/.../taskgroup/
   * TaskMonitor.java:16-94`: a task whose counters have not moved for 48 h
   * is failed and retried). Spark restatement: a daemon thread that stops
-  * a streaming query stuck INSIDE one trigger for longer than `stallMs`.
+  * a streaming query making NO progress for longer than `stallMs`, where
+  * progress is what the reference's counters measure — work completing:
   *
-  * Idle-but-healthy queries are NOT stalled: between triggers
-  * `isTriggerActive` is false and the window resets, and every completed
-  * batch (new `lastProgress.batchId`) resets it too — only a trigger that
-  * started and never finished trips the guard, matching the reference's
-  * no-progress-while-running semantics. After the stop, the normal
-  * restart-from-checkpoint path applies (the exactly-once commit gate
-  * makes the retry safe), which is the reference's failover loop
-  * (`TaskGroupContainer.java:146-269`) in Spark terms.
+  *  - a micro-batch finishing (new `lastProgress.batchId`), or
+  *  - ANY Spark task finishing (SparkListener `onTaskEnd`).
+  *
+  * A long-but-healthy trigger (big backfill batch, compaction of a fat
+  * bucket) keeps completing tasks and never trips the guard — only a
+  * trigger that is active while nothing finishes (deadlock, stuck task,
+  * hung driver-side code) does. Idle-but-completing triggers reset the
+  * window via `isTriggerActive`. Task-end events are context-wide, so in
+  * a multi-query session another query's progress also counts — this
+  * engine runs one ingest query per session (documented contract).
+  *
+  * After the stop, the normal restart-from-checkpoint path applies (the
+  * exactly-once commit gate makes the retry safe) — the reference's
+  * failover loop (`TaskGroupContainer.java:146-269`) in Spark terms.
   */
 final class Watchdog(q: StreamingQuery, stallMs: Long, pollMs: Long = 500L)
     extends AutoCloseable {
@@ -22,23 +29,32 @@ final class Watchdog(q: StreamingQuery, stallMs: Long, pollMs: Long = 500L)
   /** True once the guard stopped the query for exceeding `stallMs`. */
   @volatile var stalled: Boolean = false
   @volatile private var closed = false
+  @volatile private var lastTaskEnd = System.currentTimeMillis()
+
+  private val taskListener = new org.apache.spark.scheduler.SparkListener {
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      lastTaskEnd = System.currentTimeMillis()
+  }
+  q.sparkSession.sparkContext.addSparkListener(taskListener)
 
   private val t = new Thread(() => {
     var windowStart = -1L
     var lastBatch = -2L
-    while (!closed && !stalled && q.isActive) {
-      val now = System.currentTimeMillis()
-      val cur = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-      if (!q.status.isTriggerActive) windowStart = -1L
-      else if (cur != lastBatch) { lastBatch = cur; windowStart = now }
-      else if (windowStart < 0) windowStart = now
-      else if (now - windowStart > stallMs) {
-        stalled = true
-        try q.stop()
-        catch { case _: Throwable => () } // stop timeout — query already dying
+    try {
+      while (!closed && !stalled && q.isActive) {
+        val now = System.currentTimeMillis()
+        val cur = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        if (!q.status.isTriggerActive) windowStart = -1L
+        else if (cur != lastBatch) { lastBatch = cur; windowStart = now }
+        else if (windowStart < 0) windowStart = now
+        else if (now - windowStart > stallMs && now - lastTaskEnd > stallMs) {
+          stalled = true
+          try q.stop()
+          catch { case _: Throwable => () } // stop timeout — query already dying
+        }
+        if (!stalled) Thread.sleep(pollMs)
       }
-      if (!stalled) Thread.sleep(pollMs)
-    }
+    } finally q.sparkSession.sparkContext.removeSparkListener(taskListener)
   }, s"graft-watchdog-${q.name}")
   t.setDaemon(true)
   t.start()

@@ -274,6 +274,19 @@ class MaintenanceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("record limit"))
     assert(spark.read.parquet(s"$root/dead").count() === 2)
+
+    // limits must fire WITHOUT a dead-letter sink too (the gate is not
+    // tied to the collector, matching ErrorRecordChecker)
+    val cfgNoDl = Ingest.Config(s"$root/t2", s"$root/ck2", "w", buckets = 2,
+      errorRecordLimit = Some(1L))
+    intercept[Ingest.ErrorLimitExceeded] {
+      Ingest.applyBatch(spark, cfgNoDl, batch, 0L)
+    }
+    // and under the limits, dirty rows are dropped, clean rows merge
+    val cfgLoose = Ingest.Config(s"$root/t3", s"$root/ck3", "w", buckets = 2,
+      errorRecordLimit = Some(10L))
+    val st = Ingest.applyBatch(spark, cfgLoose, batch, 0L)
+    assert(st.inputRows === 2)
   }
 
   test("pre/post hooks run around replay (reference preSql/postSql)") {

@@ -113,6 +113,15 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("minhash signatures: per-row and combining formulations identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    def sigs(perRow: Boolean) =
+      Dedup.minHashSignatures(sh, Dedup.MinHashConfig(perRowSignatures = perRow))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(perRow = true) === sigs(perRow = false))
+  }
+
   test("clusters collapse a 200-node chain in O(log d) rounds") {
     // plain one-hop propagation would need 199 rounds; pointer jumping
     // must land the whole chain on cluster 0 within ~log2(200)+slack
