@@ -151,10 +151,23 @@ object Changelog {
 
   /** Streaming tail of the binlog directory. `maxFilesPerTrigger` is the
     * rate/backpressure control — the analogue of the reference's channel
-    * byte/record caps (`core/.../transport/channel/Channel.java:176-239`). */
+    * byte/record caps (`core/.../transport/channel/Channel.java:176-239`).
+    *
+    * The source schema is inferred from the binlog's CURRENT files
+    * (footer-merged), not pinned to [[binlogSchema]]: a streaming query's
+    * schema is fixed for its lifetime (Spark contract), so schema
+    * evolution flows through a query RESTART — segments carrying a new
+    * column that arrived since the last run widen the source, and the
+    * merge path evolves the table (add-column / widen) on the next batch.
+    * This is the Iceberg-style evolution story end to end; pinned by
+    * SchemaEvolutionSpec's streaming restart test. Falls back to the
+    * static schema for an empty/not-yet-written binlog dir. */
   def binlogStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int): DataFrame = {
+    val schema =
+      scala.util.Try(spark.read.option("mergeSchema", "true").parquet(dir).schema)
+        .getOrElse(binlogSchema)
     val r: DataStreamReader = spark.readStream
-      .schema(binlogSchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
     r.parquet(dir)
   }

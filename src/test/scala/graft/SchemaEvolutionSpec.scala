@@ -24,6 +24,30 @@ class SchemaEvolutionSpec extends SparkSpec {
       .withColumn("ts", lit(ts(0)))
       .withColumn("event_ts", timestamp_millis(lit(1700000000000L) + col("seq")))
 
+  test("streaming restart picks up new-column segments and evolves the table") {
+    val root = tmpDir("evo-stream")
+    val binlog = s"$root/binlog"
+    graft.sources.Changelog.writeBinlog(
+      batch(Seq(("I", "c1", 0, "a", 1L), ("I", "c2", 0, "b", 2L))),
+      binlog, shards = 2, segSize = 10)
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w-evo", buckets = 2)
+    Ingest.runStream(spark, cfg, binlog)
+    val t = Icelite.load(spark, cfg.tablePath)
+    assert(!t.read().columns.contains("lang"))
+    // new segments arrive carrying an extra payload column; the restarted
+    // query infers the wider source schema and the merge evolves the table
+    graft.sources.Changelog.writeBinlog(
+      batch(Seq(("I", "c3", 0, "c", 21L), ("U", "c1", 0, "a2", 22L)))
+        .withColumn("lang", lit("en")),
+      binlog, shards = 2, segSize = 10)
+    Ingest.runStream(spark, cfg, binlog)
+    val rows = t.read().select("conv_id", "turn_idx", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(rows === Set(("c1", 0, "a2", "en"), ("c2", 0, "b", null),
+      ("c3", 0, "c", "en")))
+  }
+
   test("add-column: later batch introduces a new nullable payload column") {
     val root = tmpDir("evo1")
     val cfg = Ingest.Config(s"$root/t", s"$root/c", "w0", buckets = 4)
