@@ -145,9 +145,12 @@ object Changelog {
       .repartition(col("shard"), col("seg"))
       .write.partitionBy("shard", "seg").mode("append").parquet(dir)
 
-  /** Batch read of the whole binlog (or a seg range for replay windows). */
+  /** Batch read of the whole binlog (or a seg range for replay windows).
+    * Footer-merged like [[binlogStream]], so batch replay ingests evolved
+    * columns identically to the streaming path (a pinned static schema
+    * would silently project new columns away in `mode=batch`). */
   def readBinlog(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(binlogSchema).parquet(dir)
+    spark.read.option("mergeSchema", "true").parquet(dir)
 
   /** Streaming tail of the binlog directory. `maxFilesPerTrigger` is the
     * rate/backpressure control — the analogue of the reference's channel
@@ -161,14 +164,35 @@ object Changelog {
     * merge path evolves the table (add-column / widen) on the next batch.
     * This is the Iceberg-style evolution story end to end; pinned by
     * SchemaEvolutionSpec's streaming restart test. Falls back to the
-    * static schema for an empty/not-yet-written binlog dir. */
+    * static schema ONLY for an empty/not-yet-written binlog dir — any
+    * other inference failure (corrupt footer, transient FS error,
+    * conflicting segment types) propagates, because silently pinning the
+    * narrow schema would consume widened segments without their new
+    * column, unrecoverably (offsets are checkpointed).
+    *
+    * Deployment contract: a column added while a query is RUNNING reaches
+    * the table only after the restart — roll schema changes by restarting
+    * the tail (runStream warns post-run if consumed segments were wider).
+    * Inference reads every footer at start; above ~10^5 segments keep a
+    * schema sidecar instead (same swap-point as the manifest note in
+    * [[graft.plans.Icelite]]). */
   def binlogStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int): DataFrame = {
-    val schema =
-      scala.util.Try(spark.read.option("mergeSchema", "true").parquet(dir).schema)
-        .getOrElse(binlogSchema)
     val r: DataStreamReader = spark.readStream
-      .schema(schema)
+      .schema(inferBinlogSchema(spark, dir))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
     r.parquet(dir)
   }
+
+  /** Footer-merged binlog schema; static [[binlogSchema]] only when the
+    * dir has no data yet. See [[binlogStream]] for the failure contract. */
+  def inferBinlogSchema(spark: SparkSession, dir: String): StructType =
+    try spark.read.option("mergeSchema", "true").parquet(dir).schema
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("Unable to infer schema") ||
+            e.getMessage.contains("Path does not exist") ||
+            e.getMessage.contains("PATH_NOT_FOUND") ||
+            e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+        binlogSchema
+    }
 }

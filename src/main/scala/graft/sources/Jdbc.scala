@@ -83,7 +83,7 @@ object Jdbc {
     val preds = resolved match {
       case Some((lo, hi)) => slicePredicates(spec, lo, hi)
       case None => // no non-null pk rows: only the catch-all slice applies
-        withWhere(spec, Seq(s"${spec.pk} IS NULL"))
+        withWhere(spec, RangeSplit.predicates[Long](spec.pk, Seq.empty))
     }
     spark.read.jdbc(spec.url, spec.table, preds.toArray, connProps(spec))
   }

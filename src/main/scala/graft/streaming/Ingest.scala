@@ -32,7 +32,10 @@ object Ingest {
       maxFilesPerTrigger: Int = 8,
       /** route malformed change rows here instead of failing the batch —
         * the reference's dirty-record collector (F8, `core/.../statistics/
-        * plugin/task/StdoutPluginCollector.java:21-60`). None = gate off. */
+        * plugin/task/StdoutPluginCollector.java:21-60`). The dirty GATE
+        * runs whenever this OR either error limit is set; with limits but
+        * no sink, under-limit dirty rows are dropped with a logged
+        * sample count. All three unset = gate off (hot path free). */
       deadLetterDir: Option[String] = None,
       /** fail the batch if dirty/total exceeds this ratio — the error-limit
         * gate (F9, `core/.../util/ErrorRecordChecker.java:18-81`). */
@@ -240,7 +243,10 @@ object Ingest {
     def fail(msg: String) = throw new IllegalArgumentException(s"dryRun: $msg")
 
     val schema =
-      try spark.read.parquet(binlogDir).schema
+      // footer-merged, like the stream itself reads it — otherwise the
+      // preflight validates one arbitrary footer's (possibly narrower)
+      // schema and misses exactly the evolution it exists to check
+      try spark.read.option("mergeSchema", "true").parquet(binlogDir).schema
       catch { case e: Exception => fail(s"binlog unreadable at $binlogDir: ${e.getMessage}") }
     val required = Seq("op", "event_ts", "seq") ++ Model.keyCols
     val missing = required.filterNot(schema.fieldNames.contains)
@@ -298,6 +304,7 @@ object Ingest {
     }
     try {
       val src = Changelog.binlogStream(spark, binlogDir, cfg.maxFilesPerTrigger)
+      val runSchema = src.schema
       val q = src.writeStream
         .queryName(name)
         .option("checkpointLocation", cfg.checkpointDir)
@@ -320,6 +327,16 @@ object Ingest {
         throw new IllegalStateException(
           s"ingest stalled: a trigger made no progress for ${cfg.stallTimeoutMs.get} ms " +
             "(watchdog stopped the query; restart resumes from the checkpoint)")
+      // evolution blind spot check: a streaming query's schema is fixed,
+      // so segments written WIDER while this run consumed them lost their
+      // new columns' values — surface it loudly instead of silently
+      val widerNow = Changelog.inferBinlogSchema(spark, binlogDir)
+        .fieldNames.diff(runSchema.fieldNames)
+      if (widerNow.nonEmpty)
+        System.err.println("[ingest] WARNING: binlog now carries columns " +
+          s"(${widerNow.mkString(", ")}) absent from this run's schema; any " +
+          "segments with them consumed DURING this run lost those values — " +
+          "restart ingests remaining segments with the wider schema")
       cfg.postHook.foreach(_(spark))
     } finally sink.foreach(spark.streams.removeListener)
   }

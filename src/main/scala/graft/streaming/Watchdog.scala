@@ -33,7 +33,11 @@ final class Watchdog(q: StreamingQuery, stallMs: Long, pollMs: Long = 500L)
 
   private val taskListener = new org.apache.spark.scheduler.SparkListener {
     override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      lastTaskEnd = System.currentTimeMillis()
+      // SUCCESSFUL tasks only: failed/killed attempts from a crash-retry
+      // or livelocked stage must not read as progress, or the guard never
+      // fires on exactly the loops it exists to break
+      if (e.reason == org.apache.spark.Success)
+        lastTaskEnd = System.currentTimeMillis()
   }
   q.sparkSession.sparkContext.addSparkListener(taskListener)
 

@@ -122,6 +122,22 @@ class PropertySpec extends SparkSpec {
     assert(states.distinct.size === 1 && states.head === oracle(events))
   }
 
+  test("alignedDeltaWrite on/off produce identical tables for 3 seeds") {
+    for (seed <- Seq(41, 42, 43)) {
+      val events = randomEvents(new Random(seed), 300)
+      val df = spark.createDataset(events).toDF()
+      val batches = (0 until 4).map(i => df.filter($"seq" % 4 === i))
+      val states = Seq(true, false).map { al =>
+        val r = tmpDir(s"prop-al$seed-$al")
+        Ingest.replay(spark, Ingest.Config(s"$r/t", s"$r/c", s"w$al", buckets = 4,
+          opts = Icelite.Options(alignedDeltaWrite = al)), batches)
+        state(Icelite.load(spark, s"$r/t").read())
+      }
+      assert(states.distinct.size === 1 && states.head === oracle(events),
+        s"seed $seed diverged")
+    }
+  }
+
   test("LWW aggregation == window formulation on random data") {
     for (seed <- Seq(11, 12)) {
       val df = spark.createDataset(randomEvents(new Random(seed), 500)).toDF()
