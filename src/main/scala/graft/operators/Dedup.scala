@@ -243,20 +243,39 @@ object Dedup {
 
   /** 60-bit SimHash per doc over tf-weighted token hashes ([[portableHash]]
     * → engine-portable fingerprints). bit_j(doc) = [Σ_tokens tf·(2·bit_j(h)−1) > 0].
-    */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    *
+    * Two formulations, identical output (pinned by OperatorsSpec):
+    * `perRow = true` (default) collects each doc's distinct (tf, h) pairs
+    * and computes all 60 bit-sums in one projection — no ×60 row explode
+    * and two fewer shuffles, the same trade
+    * [[MinHashConfig.perRowSignatures]] makes (flip for pathological
+    * ≫10^5-distinct-token documents). `perRow = false` is the
+    * explode→groupBy(id, j) formulation, whose per-group state is
+    * constant-size. */
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+      perRow: Boolean = true): DataFrame = {
     val tf = df.select(col(idCol).as("id"),
         explode(tokens(normalize(col(textCol)))).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
       .withColumn("h", portableHash(col("tok")))
-    tf.select(col("id"), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(59))).as("j"))
-      .withColumn("c", col("tf") * (expr("shiftright(h, j)") % 2 * 2 - 1))
-      .groupBy(col("id"), col("j"))
-      .agg(sum(col("c")).as("s"))
-      .groupBy(col("id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)"))
-        .otherwise(lit(0L))).as("simhash"))
+    if (perRow)
+      tf.groupBy(col("id"))
+        .agg(collect_list(struct(col("tf"), col("h"))).as("th"))
+        .select(col("id"), expr(
+          // same arithmetic as the explode path, term for term
+          """aggregate(sequence(0, 59), 0L, (acc, j) -> acc +
+            |  IF(aggregate(th, 0L,
+            |       (s, t) -> s + t.tf * (shiftright(t.h, j) % 2 * 2 - 1)) > 0,
+            |     shiftleft(1L, j), 0L))""".stripMargin).as("simhash"))
+    else
+      tf.select(col("id"), col("tf"), col("h"),
+          explode(sequence(lit(0), lit(59))).as("j"))
+        .withColumn("c", col("tf") * (expr("shiftright(h, j)") % 2 * 2 - 1))
+        .groupBy(col("id"), col("j"))
+        .agg(sum(col("c")).as("s"))
+        .groupBy(col("id"))
+        .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)"))
+          .otherwise(lit(0L))).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, blocked on

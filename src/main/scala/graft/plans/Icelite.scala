@@ -47,13 +47,15 @@ import graft.operators.Lww
   *    ([[graft.operators.Skew.saltByBucket]]);
   *  - the JSON manifest is the one piece that would move to an Avro/parquet
   *    manifest-list above ~10^5 files — interface kept narrow for that swap;
-  *  - bucket count is fixed at table creation (like Iceberg's bucket
+  *  - bucket count is set at table creation (like Iceberg's bucket
   *    transform). Size it for the TARGET scale up front: ~1 bucket per
   *    0.5-2 GB of steady-state table, so a 100 TB table wants O(10^4-10^5)
   *    buckets, not the 32 default (which is sized for the local bench).
-  *    Re-bucketing = create-new + full rewrite, so over-provision; small
-  *    tables with many buckets only cost manifest entries, while big
-  *    tables with few buckets serialize merges behind fat buckets.
+  *    Small tables with many buckets only cost manifest entries, while
+  *    big tables with few buckets serialize merges behind fat buckets —
+  *    a table that outgrew its layout is re-spread in place by
+  *    [[IceliteTable.rebucket]] (one bounded full rewrite, history and
+  *    exactly-once gate preserved).
   */
 object Icelite {
 
@@ -694,6 +696,78 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       else if (!replaced.subsetOf(latest.files.map(_.path).toSet))
         throw new CommitConflictException(
           "files folded by this compaction were concurrently rewritten; cannot rebase")
+      else Some(buildNext(latest))).get.snapshotId
+  }
+
+  /** Change the table's bucket count — the missing half of "bucket count is
+    * fixed at creation" (Iceberg analogue: `REPLACE PARTITION FIELD` +
+    * `rewrite_data_files`). A table sized for 1 TB that grew to 100 TB
+    * serializes merges behind fat buckets; rebucket to O(10^4) buckets
+    * restores bounded per-bucket work without recreating the table or
+    * breaking snapshot history/time travel.
+    *
+    * Full rewrite by construction (every row changes bucket): reads the
+    * current snapshot raw (LWW across generations, tombstones kept so
+    * late events still cannot resurrect deletes), re-buckets by
+    * `pmod(hash(conv_id), newBuckets)`, writes one new base generation,
+    * and commits `buckets = newBuckets`. Cost is one table scan + one
+    * shuffle + one write — schedule it like compaction, not like ingest.
+    *
+    * Parallelism does not wait for the new bucket layout: writes are
+    * salted to `targetRowsPerTask`, so a fat source bucket fans out over
+    * many tasks during the rewrite itself.
+    *
+    * Concurrency: rebases over metadata-only commits (gate advances,
+    * empty batches) but conflicts with any concurrent file change — a
+    * data commit racing a full rewrite cannot be merged, matching
+    * Iceberg's rewrite semantics. Run it when ingest is quiesced or let
+    * the ingest writer retry after it wins.
+    *
+    * `changesSince` across the boundary stays correct: new files carry
+    * the union seq range of the files they fold, so post-rebucket
+    * incremental reads re-emit at most the rewritten winners (the same
+    * at-least-once contract compaction already has). */
+  def rebucket(newBuckets: Int, opts: Options = Options()): Long = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1 (got $newBuckets)")
+    val snap = snapshot()
+    if (newBuckets == snap.buckets) return snap.snapshotId
+    val full = schemaFor(snap, snap.currentSchemaId)
+    val nextId = snap.snapshotId + 1
+    val rel = s"data/b-$nextId-${java.util.UUID.randomUUID().toString.take(8)}"
+    val totalRows = snap.files.map(f => math.max(f.rows, 0L)).sum
+    if (snap.files.nonEmpty) {
+      val df = readRaw(Some(snap)).withColumn(BucketCol, bucketOf(newBuckets))
+      // uniform hash spreads keys evenly: size every new bucket's salt
+      // slots from the expected rows/bucket instead of a counting pass
+      val perBucket = math.max(1L, totalRows / newBuckets)
+      val slots = (0 until newBuckets).map(b =>
+        b -> math.max(1, math.ceil(perBucket.toDouble / opts.targetRowsPerTask).toInt)).toMap
+      writeBucketed(df, s"$root/$rel", slots,
+        dropTombstones = opts.dropTombstonesOnCompact)
+    }
+    // per-new-bucket seq ranges are unknown without a stats pass; the
+    // global range is conservative (never wrongly prunes changesSince)
+    val seqLo = snap.files.map(_.minSeq).filter(_ >= 0).minOption.getOrElse(-1L)
+    val seqHi = snap.files.map(_.maxSeq).foldLeft(-1L)(math.max)
+    val rangeStats = (0 until newBuckets).map(b => b -> ((0L, 0L, seqLo, seqHi))).toMap
+    val newFiles =
+      if (snap.files.isEmpty) Nil
+      else listStaged(rel, "base", snap.currentSchemaId, rangeStats)
+    val replaced = snap.files.map(_.path).toSet
+    def buildNext(base: SnapshotMeta): SnapshotMeta = base.copy(
+      snapshotId = base.snapshotId + 1, parentId = base.snapshotId,
+      buckets = newBuckets,
+      files = newFiles,
+      summary = Map("maintenance" -> "rebucket",
+        "buckets.from" -> snap.buckets.toString,
+        "buckets.to" -> newBuckets.toString),
+      committedAtMs = System.currentTimeMillis())
+    commitWithRetry(buildNext(snap), latest =>
+      if (latest.schemas != snap.schemas || latest.currentSchemaId != snap.currentSchemaId)
+        throw new CommitConflictException("concurrent schema change; cannot rebase")
+      else if (latest.files.map(_.path).toSet != replaced)
+        throw new CommitConflictException(
+          "files changed concurrently during rebucket; rerun when ingest is quiesced")
       else Some(buildNext(latest))).get.snapshotId
   }
 

@@ -11,11 +11,16 @@ import graft.streaming.Ingest
   * plugin tree; run under spark-submit for a real cluster, or
   * `sbt "runMain graft.tools.IngestMain ..."` locally.
   *
-  * Required: binlog=<dir> table=<dir> checkpoint=<dir>
+  * Required: table=<dir> checkpoint=<dir>; binlog=<dir> for ingest modes
   * Optional: writerId=<id> (default "cli") buckets=<n> (default 32)
   *   mode=stream|batch|continuous (default stream; continuous = long-
   *   running Trigger.ProcessingTime tail, intervalMs=<ms> default 2000,
   *   stopAfterMs=<ms> bounds the run for smoke tests)
+  *   mode=compact|rebucket|expire — table maintenance without an ingest
+  *   run (the Iceberg procedure analogues): compact folds delta files,
+  *   rebucket newBuckets=<n> re-spreads a table that outgrew its bucket
+  *   layout, expire keepLast=<n> (default 5) drops old snapshots + GCs
+  *   orphan files
   *   maxFilesPerTrigger=<n> deadLetterDir=<dir> errorPctLimit=<0..1>
   *   errorRecordLimit=<n> metricsDir=<dir> stallTimeoutMs=<ms> (hang
   *   monitor: fail the job if a trigger stops making progress)
@@ -53,10 +58,13 @@ object IngestMain {
       stallTimeoutMs = kv.get("stallTimeoutMs").map(_.toLong))
   }
 
+  private val MaintenanceModes = Set("compact", "rebucket", "expire")
+
   def main(args: Array[String]): Unit = {
     val kv = parse(args)
     val cfg = configFrom(kv)
-    val binlog = kv.getOrElse("binlog",
+    val mode = kv.getOrElse("mode", "stream")
+    val binlog = if (MaintenanceModes.contains(mode)) "" else kv.getOrElse("binlog",
       throw new IllegalArgumentException("missing required arg binlog=<dir>"))
     println("[ingest] config: " + Masking.mask(kv).toSeq.sorted
       .map { case (k, v) => s"$k=$v" }.mkString(" "))
@@ -71,12 +79,25 @@ object IngestMain {
       else builder.master(kv.getOrElse("master", "local[8]"))).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      Ingest.dryRun(spark, cfg, binlog).foreach(c => println(s"[ingest] check: $c"))
-      if (kv.get("dryRun").contains("true")) {
-        println("[ingest] dryRun=true — validation only, no data moved")
-        return
+      if (!MaintenanceModes.contains(mode)) {
+        Ingest.dryRun(spark, cfg, binlog).foreach(c => println(s"[ingest] check: $c"))
+        if (kv.get("dryRun").contains("true")) {
+          println("[ingest] dryRun=true — validation only, no data moved")
+          return
+        }
       }
-      kv.getOrElse("mode", "stream") match {
+      mode match {
+        case "compact" =>
+          Icelite.load(spark, cfg.tablePath).compactAll(cfg.opts)
+        case "rebucket" =>
+          Icelite.load(spark, cfg.tablePath).rebucket(
+            kv.getOrElse("newBuckets",
+              throw new IllegalArgumentException(
+                "mode=rebucket needs newBuckets=<n>")).toInt, cfg.opts)
+        case "expire" =>
+          val (snaps, files) = Icelite.load(spark, cfg.tablePath)
+            .expireSnapshots(kv.getOrElse("keepLast", "5").toInt)
+          println(s"[ingest] expired $snaps snapshots, deleted $files orphan files")
         case "stream" => Ingest.runStream(spark, cfg, binlog)
         case "continuous" => Ingest.runStream(spark, cfg, binlog,
           org.apache.spark.sql.streaming.Trigger.ProcessingTime(

@@ -2,32 +2,36 @@ package graft.tools
 
 import graft.Bench
 
-/** Two-parallelism scaling evidence (north rule: ≥0.8 efficiency from N
-  * to 4N executors; sandbox stand-in per BASELINE.md — same job, same
-  * input, local[N] vs local[4N]).
+/** Strong-scaling evidence (north rule: ≥0.8 efficiency from N to 4N
+  * executors; sandbox stand-in per BASELINE.md — same job, same input,
+  * local[N] at each requested parallelism level).
   *
   * Method: write the binlog once (tmpfs — see [[Bench.workDir]]); for each
   * parallelism, start a fresh session, run an untimed warmup replay (JIT +
-  * codegen classes are per-session), then the timed replay of the full
-  * input through the complete merge pipeline. Efficiency =
-  * (thr_high / thr_low) / (nHigh / nLow).
+  * codegen classes are per-session), then timed replays of the full input
+  * through the complete merge pipeline. Efficiency of a pair =
+  * (thr_high / thr_low) / (nHigh / nLow), reported for every N→4N pair
+  * the level list contains.
   *
-  * Each level is replayed `reps` times and the best run is kept — the
-  * sandbox VM shows intermittent multi-second CPU-steal stalls, and the
-  * minimum wall time is the standard estimator for uncontended hardware.
+  * Each level is replayed `SPARK_GRAFT_SCALING_REPS` (default 3) times and
+  * the best run is kept — the sandbox VM shows intermittent multi-second
+  * CPU-steal stalls, and the minimum wall time is the standard estimator
+  * for uncontended hardware.
   *
-  * Usage: runMain graft.tools.ScalingBench [events] [nLow] [nHigh] [reps]
+  * Usage: runMain graft.tools.ScalingBench [events] [level level ...]
+  *        (default events 10^7, levels 8 32)
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val events = if (args.length > 0) args(0).toLong else 10000000L
-    val nLow = if (args.length > 1) args(1).toInt else 8
-    val nHigh = if (args.length > 2) args(2).toInt else 32
-    val reps = if (args.length > 3) args(3).toInt else 3
+    val levels =
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq.distinct.sorted
+      else Seq(8, 32)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
 
     // produce the shared inputs once (parallelism of this phase irrelevant)
     val work = Bench.workDir("graft-scaling")
-    val s0 = Bench.session(nHigh)
+    val s0 = Bench.session(levels.max)
     s0.sparkContext.setLogLevel("WARN")
     val binlog = Bench.writeBenchBinlog(s0, events, hotPct = 0, work)
     val warmupBinlog = {
@@ -41,15 +45,17 @@ object ScalingBench {
     }
     s0.stop()
 
-    val thr = Seq(nLow, nHigh).map { cpus =>
+    val thr: Map[Int, Double] = levels.map { cpus =>
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
       val s = Bench.session(cpus)
       s.sparkContext.setLogLevel("WARN")
-      Bench.replayBinlog(s, warmupBinlog, s"$work/warm-$cpus", cpus) // JIT warmup
+      Bench.replayBinlog(s, warmupBinlog, s"$work/warm-$cpus", cpus,
+        verifyCount = false) // JIT warmup
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$work/warm-$cpus"))
       val runs = (1 to reps).map { r =>
-        val res = Bench.replayBinlog(s, binlog, s"$work/run-$cpus-$r", cpus)
+        val res = Bench.replayBinlog(s, binlog, s"$work/run-$cpus-$r", cpus,
+          verifyCount = false)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$work/run-$cpus-$r"))
         println(f"[scaling]   local[$cpus] rep $r: ${res.secs}%.1f s, rows=${res.rows}")
         res.secs
@@ -59,11 +65,16 @@ object ScalingBench {
       val t = events / secs
       println(f"[scaling] local[$cpus]: best $secs%.1f s of ${runs.map(x => f"$x%.1f").mkString("/")} → $t%.0f events/s")
       cpus -> t
-    }
+    }.toMap
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
-    val eff = (thr(1)._2 / thr(0)._2) / (nHigh.toDouble / nLow)
-    println(f"[scaling] efficiency local[$nLow]→local[$nHigh]: $eff%.3f (target ≥ 0.8)")
-    println(f"""{"scaling":{"n_low":$nLow,"n_high":$nHigh,"events":$events,""" +
-      f""""thr_low":${thr(0)._2}%.0f,"thr_high":${thr(1)._2}%.0f,"efficiency":$eff%.3f}}""")
+    val pairs = levels.filter(n => thr.contains(4 * n)).map { n =>
+      val eff = (thr(4 * n) / thr(n)) / 4.0
+      println(f"[scaling] efficiency local[$n]→local[${4 * n}]: $eff%.3f (target ≥ 0.8)")
+      (n, 4 * n, eff)
+    }
+    val curve = levels.map(c => f""""$c":${thr(c)}%.0f""").mkString("{", ",", "}")
+    val pairsJson = pairs.map { case (a, b, e) =>
+      f"""{"n_low":$a,"n_high":$b,"efficiency":$e%.3f}""" }.mkString("[", ",", "]")
+    println(s"""{"scaling":{"events":$events,"curve_events_per_sec":$curve,"pairs":$pairsJson}}""")
   }
 }

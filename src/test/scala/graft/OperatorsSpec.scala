@@ -133,6 +133,14 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_._2 === 0L))
   }
 
+  test("simhash: per-row and explode formulations identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def hashes(perRow: Boolean) =
+      Dedup.simHash(docs, "doc_id", "text", perRow = perRow)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(perRow = true) === hashes(perRow = false))
+  }
+
   test("simhash: identical docs equal, near-dups close, unrelated far") {
     val h = Dedup.simHash(corpus, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
