@@ -45,8 +45,10 @@ import graft.operators.Lww
   *  - the LWW reduction is an aggregation (map-side combine) so hot keys
   *    collapse before the shuffle; hot buckets are salted at write
   *    ([[graft.operators.Skew.saltByBucket]]);
-  *  - the JSON manifest is the one piece that would move to an Avro/parquet
-  *    manifest-list above ~10^5 files — interface kept narrow for that swap;
+  *  - file lists above [[Icelite.inlineManifestMax]] entries spill to a
+  *    gzipped side manifest (Iceberg's manifest-list idea, one level):
+  *    the version JSON stays O(1) and snapshot reads stay flat to
+  *    O(10^6) data files — the 100 TB regime;
   *  - bucket count is set at table creation (like Iceberg's bucket
   *    transform). Size it for the TARGET scale up front: ~1 bucket per
   *    0.5-2 GB of steady-state table, so a 100 TB table wants O(10^4-10^5)
@@ -78,7 +80,14 @@ object Icelite {
       currentSchemaId: Int,
       files: List[DataFileMeta],
       summary: Map[String, String],
-      committedAtMs: Long)
+      committedAtMs: Long,
+      /** When the file list is too large to inline (>[[inlineManifestMax]]),
+        * it lives in a gzipped side manifest under `_icelite/` and this
+        * holds its root-relative path; `files` is empty ON DISK then.
+        * [[readSnapshot]] always inflates, so in-memory `files` is complete
+        * either way. Absent (None) in pre-manifest snapshots — old tables
+        * read unchanged. */
+      manifestRef: Option[String] = None)
 
   /** Per-merge counters. `inputRows`/`deletes` count raw change events in
     * the batch (pre-dedup — the deduped row counts live in the manifest's
@@ -199,16 +208,51 @@ object Icelite {
   private[plans] def latestVersion(root: String): Option[Long] =
     listVersions(root).lastOption
 
-  private[plans] def readSnapshot(root: String, id: Long): SnapshotMeta =
-    Serialization.read[SnapshotMeta](new String(
+  /** Above this many files the snapshot JSON stores its file list in a
+    * gzipped side manifest (Iceberg's manifest-list idea, one level): the
+    * version file stays O(1) however many data files the table carries,
+    * and the manifest compresses ~20× (paths share long prefixes). At
+    * O(10^6) files — a 100 TB table at ~100 MB/file — the inline JSON
+    * would be ~300 MB parsed on every snapshot() call; the side manifest
+    * keeps commit/read latency flat. Overridable for tests via system
+    * property `graft.manifest.inlineMax`. */
+  private[plans] def inlineManifestMax: Int =
+    sys.props.get("graft.manifest.inlineMax").map(_.toInt).getOrElse(2048)
+
+  private[plans] def readSnapshot(root: String, id: Long): SnapshotMeta = {
+    val snap = Serialization.read[SnapshotMeta](new String(
       Files.readAllBytes(versionFile(root, id)), java.nio.charset.StandardCharsets.UTF_8))
+    snap.manifestRef match {
+      case None => snap
+      case Some(rel) =>
+        val in = new java.util.zip.GZIPInputStream(
+          Files.newInputStream(Paths.get(root, rel)))
+        try snap.copy(files = Serialization.read[List[DataFileMeta]](
+          new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)))
+        finally in.close()
+    }
+  }
 
   /** Atomic commit: write tmp, hard-link to the final name (fails if the
     * version already exists — optimistic concurrency), drop tmp. The link
     * creation is the single atomic step; data files written before it are
     * invisible orphans if we crash first (crash-safe).
     */
-  private[plans] def writeSnapshot(root: String, snap: SnapshotMeta): Unit = {
+  private[plans] def writeSnapshot(root: String, snapIn: SnapshotMeta): Unit = {
+    // spill a large file list to a gzipped side manifest BEFORE the atomic
+    // link — like staged data files, a manifest whose commit loses the race
+    // (or crashes) is an invisible orphan swept by expireSnapshots
+    val snap =
+      if (snapIn.files.size <= inlineManifestMax) snapIn.copy(manifestRef = None)
+      else {
+        val rel = s"_icelite/m-${snapIn.snapshotId}-${java.util.UUID.randomUUID().toString.take(8)}.json.gz"
+        val out = new java.util.zip.GZIPOutputStream(
+          Files.newOutputStream(Paths.get(root, rel)))
+        try out.write(Serialization.write(snapIn.files)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        snapIn.copy(files = Nil, manifestRef = Some(rel))
+      }
     val target = versionFile(root, snap.snapshotId)
     val tmp = Paths.get(root, "_icelite",
       s".tmp-${snap.snapshotId}-${java.util.UUID.randomUUID()}")
@@ -784,11 +828,25 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val versions = listVersions(root)
     val (drop, keep) = versions.splitAt(math.max(versions.size - keepLast, 0))
-    val referenced: Set[String] =
-      keep.flatMap(v => readSnapshot(root, v).files.map(_.path)).toSet
+    val kept = keep.map(v => readSnapshot(root, v))
+    val referenced: Set[String] = kept.flatMap(_.files.map(_.path)).toSet
+    val referencedManifests: Set[String] = kept.flatMap(_.manifestRef).toSet
     drop.foreach(v => Files.deleteIfExists(versionFile(root, v)))
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     var deleted = 0
+    // side manifests of dropped snapshots (and of commit attempts that
+    // lost their race) are unreferenced now — same age-guarded sweep as
+    // data files, so an in-flight writer's staged manifest survives
+    val metaDir = Paths.get(root, "_icelite")
+    val metaLs = Files.list(metaDir)
+    try metaLs.iterator().asScala.toSeq.foreach { p =>
+      val rel = s"_icelite/${p.getFileName}"
+      if (p.getFileName.toString.startsWith("m-") &&
+          !referencedManifests.contains(rel) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff) {
+        Files.delete(p); deleted += 1
+      }
+    } finally metaLs.close()
     val dataDir = Paths.get(root, "data")
     if (Files.isDirectory(dataDir)) {
       val walk = Files.walk(dataDir)

@@ -120,6 +120,47 @@ class MaintenanceSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("large file lists spill to a gzipped side manifest; reads and GC unaffected") {
+    val root = tmpDir("manifest")
+    sys.props("graft.manifest.inlineMax") = "4"
+    try {
+      val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 8,
+        opts = Icelite.Options(compactThreshold = 100)) // keep deltas: many files
+      val batches = (0 until 3).map { b =>
+        batchOf((0 until 32).map(i =>
+          ev("I", s"c$i", b, s"t$b-$i", b * 100 + i, b * 1000 + i)): _*)
+      }
+      Ingest.replay(spark, cfg, batches)
+      val table = Icelite.load(spark, cfg.tablePath)
+      val snap = table.snapshot()
+      assert(snap.files.size > 4)          // inflated in memory
+      assert(snap.manifestRef.isDefined)   // spilled on disk
+      // the version JSON itself carries no inline file list
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "t", "_icelite",
+          f"v${snap.snapshotId}%010d.json")))
+      assert(raw.contains("\"files\":[]") && raw.contains("\"manifestRef\""))
+      // reads plan off the inflated manifest as before
+      val before = table.read().orderBy("conv_id", "turn_idx").collect()
+      assert(before.length === 96)
+      assert(table.lookup("c7").count() === 3)
+      // expiry drops old snapshots' manifests but keeps the referenced one
+      table.expireSnapshots(keepLast = 1, orphanGraceMs = 0)
+      val manifests = {
+        val ls = java.nio.file.Files.list(
+          java.nio.file.Paths.get(root, "t", "_icelite"))
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("m-")).toList
+        } finally ls.close()
+      }
+      assert(manifests === List(snap.manifestRef.get.stripPrefix("_icelite/")))
+      assert(table.read().orderBy("conv_id", "turn_idx").collect().toSeq
+        === before.toSeq)
+    } finally sys.props.remove("graft.manifest.inlineMax")
+  }
+
   test("crash between data write and commit leaves invisible orphans; GC removes them") {
     val root = tmpDir("crash")
     val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2)
