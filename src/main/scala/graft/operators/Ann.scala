@@ -232,12 +232,55 @@ object Ann {
     out
   }
 
+  /** Lloyd's k-means over the embedding column — trains the IVF coarse
+    * quantizer ([[ivfTopK]]'s `trainIters` > 0 path). Spark-first: each
+    * iteration is one broadcast-join assignment pass (map-only over the
+    * corpus) plus one `Summarizer.mean` aggregation per cluster on ML
+    * vectors — no explode, no driver loop over rows. Deterministic
+    * initialization (seeds = `nlist` vectors in xxhash64(id) order, a
+    * cheap deterministic spread); empty clusters keep their previous
+    * centroid. At the 100 TB scale train on a sample (`df.sample` or a
+    * hash filter) — centroid quality needs only O(nlist × 10^3) points.
+    * Output: (cid, cv, cnorm), the shape [[ivfTopK]] consumes. */
+  def kMeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val p = prep(df, idCol, vecCol).cache()
+    var cents = p.orderBy(xxhash64(col("id")), col("id")).limit(nlist)
+      .withColumn("cid", row_number().over(
+        Window.orderBy(xxhash64(col("id")), col("id"))) - 1)
+      .select(col("cid"), col("v").as("cv"), expr("graft_norm(v)").as("cnorm"))
+      .localCheckpoint(true)
+    val cdot = expr("graft_dot(v, cv)")
+    (0 until iters).foreach { _ =>
+      val assigned = p.join(broadcast(cents))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("id")).orderBy(
+            (cdot / (col("norm") * col("cnorm"))).desc, col("cid").asc)))
+        .filter(col("crank") === 1)
+      val means = assigned.groupBy(col("cid"))
+        .agg(Summarizer.mean(array_to_vector(col("v"))).as("mv"))
+        .select(col("cid"), vector_to_array(col("mv")).as("nv"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
+        .withColumn("cnorm", expr("graft_norm(cv)"))
+        .localCheckpoint(true) // truncate the per-iteration plan growth
+    }
+    p.unpersist()
+    cents
+  }
+
   /** IVF (inverted-file) ANN top-k — the classic scale path for dense
     * retrieval (coarse quantizer + per-list exact search):
     *
-    *  1. coarse centroids = the `nlist` vectors with the smallest ids
-    *     (deterministic stand-in for k-means — at scale, plug trained
-    *     centroids in; the plan shape is identical);
+    *  1. coarse centroids: `trainIters` = 0 (default) uses the `nlist`
+    *     smallest-id vectors — a deterministic stand-in whose output is
+    *     stable across partitionings (what the driver oracle pins);
+    *     `trainIters` > 0 runs [[kMeansCentroids]] Lloyd iterations for
+    *     real list balance/recall (float summation order makes trained
+    *     centroids partitioning-sensitive in the last ulps — fine for
+    *     retrieval, not for bitwise-reproducibility gates);
     *  2. build: every vector is assigned to its nearest centroid
     *     (broadcast the centroid table — it is tiny — so assignment is a
     *     map-only pass, no shuffle of the corpus);
@@ -250,10 +293,12 @@ object Ann {
     * (asserted vs [[bruteForceTopK]] in AnnSpec).
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nProbe: Int = 4): DataFrame = {
+      nlist: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
     val p = prep(df, idCol, vecCol)
-    val cents = p.orderBy(col("id")).limit(nlist)
-      .select(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+    val cents =
+      if (trainIters > 0) kMeansCentroids(df, idCol, vecCol, nlist, trainIters)
+      else p.orderBy(col("id")).limit(nlist)
+        .select(col("id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
     val cdot = expr("graft_dot(v, cv)")
     // rank centroids per vector once; slot 1 = assignment, 1..nProbe = probes
     val ranked = p.join(broadcast(cents))

@@ -237,6 +237,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r2 >= 0.2 && r2 <= r8 + 1e-9, f"recall@2=$r2%.2f")
   }
 
+  test("IVF with trained k-means centroids: valid quantizer, sane recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Ann.kMeansCentroids(emb, "vec_id", "embedding", nlist = 8, iters = 3)
+      .collect()
+    assert(cents.length === 8)
+    assert(cents.map(_.getInt(0)).sorted.toSeq === (0 until 8)) // stable ids
+    assert(cents.forall(r => r.getDouble(2) > 0 && !r.getDouble(2).isNaN))
+    val bf = Ann.bruteForceTopK(emb, "vec_id", "embedding", 5)
+      .select("id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = Ann.ivfTopK(emb, "vec_id", "embedding", 5,
+        nlist = 8, nProbe = 2, trainIters = 3)
+      .select("id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & trained).size.toDouble / bf.size
+    // random 64-d vectors are k-means' hardest case (no cluster structure);
+    // the gate is a floor, not a target — clustered real corpora do better
+    assert(recall >= 0.2, f"trained recall@2=$recall%.2f")
+  }
+
   test("cosine near-dup pairs: LSH-blocked equals exact on planted dups") {
     // planted: v1 ≈ v2 (near-identical), v3 orthogonal-ish
     val base = (0 until 16).map(i => math.sin(i * 0.7).toFloat).toArray
