@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** Row-level scalar transforms — the reference's only "expression" surface,
   * re-expressed as Catalyst columns (codegen'd, no UDFs).
@@ -58,5 +59,65 @@ object Transforms {
     }
     // null never matches a range/like op ⇒ keep the row (coalesce false)
     !coalesce(matched, lit(false))
+  }
+
+  /** `dx_url2base64(col)` (fork-added, `UrlTransformer.java:25-95`) —
+    * replace a URL column with the Base64 of the fetched body. Reference
+    * semantics kept exactly: null passes through untouched (`:51-53`), and
+    * any fetch failure leaves the ORIGINAL value in place
+    * (`image2Base64`'s catch falls through to `return imageUrl`).
+    *
+    * This is the one transform that cannot be a Catalyst expression —
+    * it performs side-effecting I/O per row — so it runs as a
+    * `mapPartitions` over the full row (blobs never hit a shuffle; the
+    * fetch happens inside the scan stage). The fetcher is pluggable so
+    * unit tests and no-egress sandboxes use `file://` / `data:` URIs
+    * while production injects a pooled HTTP client; [[defaultFetch]]
+    * handles whatever protocols the JVM's URL handlers provide (file,
+    * http(s), jar) plus RFC-2397 `data:` URIs, with the reference's 5 s
+    * connect timeout. At 10^10 rows the fetch dominates; parallelism =
+    * input partitions, so `repartition` the frame to the desired request
+    * concurrency before calling. */
+  def urlToBase64(df: DataFrame, colName: String,
+      fetch: String => Array[Byte] = defaultFetch): DataFrame = {
+    val schema = df.schema
+    val idx = schema.fieldIndex(colName)
+    require(schema(idx).dataType == StringType,
+      s"dx_url2base64 needs a string column, got ${schema(idx).dataType}")
+    df.mapPartitions { rows =>
+      val b64 = java.util.Base64.getEncoder // not serializable — per-task
+      rows.map { row =>
+        val url = row.getString(idx)
+        if (url == null) row
+        else {
+          val replaced =
+            try b64.encodeToString(fetch(url))
+            catch { case scala.util.control.NonFatal(_) => url }
+          Row.fromSeq(row.toSeq.updated(idx, replaced))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Default fetcher for [[urlToBase64]]: `data:` URIs decoded locally
+    * (base64 or percent-encoded per RFC 2397), everything else through
+    * `java.net.URL` (file://, and http(s) where egress exists) with the
+    * reference's 5 s connect timeout (`UrlTransformer.java:74`). */
+  val defaultFetch: String => Array[Byte] = { url =>
+    if (url.startsWith("data:")) {
+      val comma = url.indexOf(',')
+      require(comma >= 0, s"malformed data: URI")
+      val (header, payload) = (url.substring(5, comma), url.substring(comma + 1))
+      if (header.endsWith(";base64"))
+        java.util.Base64.getMimeDecoder.decode(payload)
+      else
+        java.net.URLDecoder.decode(payload, "UTF-8").getBytes("UTF-8")
+    } else {
+      val conn = new java.net.URL(url).openConnection()
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(5000)
+      val is = conn.getInputStream
+      try is.readAllBytes() finally is.close()
+    }
   }
 }

@@ -120,4 +120,65 @@ object FileIo {
 
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /** SequenceFile TEXT mode — the reference's hdfsreader `SEQ` fileType
+    * (`hdfsreader/.../DFSUtil.java` sequenceFileStartRead: values are
+    * delimited text lines, keys ignored). Values are copied out of
+    * Hadoop's reused `Text` instance inside the scan task, then parsed by
+    * Spark's vectorized CSV source via `csv(Dataset[String])` — same
+    * option surface (delimiter/nullFormat/malformed-row drop) as
+    * [[readCsv]], with splits per SequenceFile block. */
+  def readSeq(spark: SparkSession, path: String, schema: StructType,
+      o: TextOptions = TextOptions()): DataFrame = {
+    import spark.implicits._
+    val lines = spark.sparkContext
+      .sequenceFile(path, classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text])
+      .map(_._2.toString) // Text is reused per record — copy in-task
+      .toDS()
+    spark.read.options(csvCommon(o)).option("mode", "DROPMALFORMED")
+      .schema(schema).csv(lines)
+  }
+
+  /** SequenceFile TEXT-mode write (reference hdfswriter has no SEQ path —
+    * this closes the read/write pair). Rows render through `to_csv`
+    * (codegen'd, same options as [[writeCsv]]); keys are a constant 0L —
+    * the reference reader ignores keys. `append` lands the new part files
+    * beside the old ones under unique names (the reference's
+    * append-suffix behavior, `TxtFileWriter.java:94-192`). */
+  def writeSeq(df: DataFrame, path: String, o: TextOptions = TextOptions(),
+      writeMode: String = "truncate"): Unit = {
+    val spark = df.sparkSession
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(target)
+    writeMode match {
+      case "truncate"    => if (exists) fs.delete(target, true)
+      case "nonConflict" => if (exists)
+        throw new IllegalArgumentException(s"nonConflict: $path exists")
+      case "append"      => ()
+      case other => throw new IllegalArgumentException(s"writeMode: $other")
+    }
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("sep", o.delimiter)
+    opts.put("nullValue", o.nullFormat)
+    opts.put("timestampFormat", o.timestampFormat)
+    opts.put("timestampNTZFormat", o.timestampFormat)
+    val lines = df
+      .select(to_csv(struct(df.columns.map(col): _*), opts).as("line"))
+      .rdd.map(r => (0L, r.getString(0)))
+    if (writeMode == "append" && exists) {
+      // SequenceFileOutputFormat refuses an existing dir: write beside,
+      // then move parts in under a unique suffix (commit-by-rename)
+      val stamp = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new Path(s"$path-tmp-$stamp")
+      lines.saveAsSequenceFile(tmp.toString)
+      fs.listStatus(tmp).filter(_.getPath.getName.startsWith("part-"))
+        .foreach { f =>
+          fs.rename(f.getPath, new Path(target, s"${f.getPath.getName}-$stamp"))
+        }
+      fs.delete(tmp, true)
+    } else lines.saveAsSequenceFile(path)
+  }
 }

@@ -238,6 +238,58 @@ class SourcesSpec extends SparkSpec {
     }.collect().sortBy(_.id)
     assert(out.map(_.text).toSeq === Seq("KEEP ME", "KEEP TOO"))
   }
+
+  // ------------------------------------------------------------ SEQ (S4)
+
+  test("sequencefile text mode round-trips schema'd rows (S4 SEQ)") {
+    val dir = tmpDir("seq")
+    val df = Seq(
+      (1L, "alpha", Some(1.5)),
+      (2L, "with,comma", None),
+      (3L, null.asInstanceOf[String], Some(-2.0))
+    ).toDF("id", "name", "score")
+    FileIo.writeSeq(df, s"$dir/t")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val back = FileIo.readSeq(spark, s"$dir/t", schema)
+    assert(back.collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet ===
+      Set((1L, "alpha", 1.5), (2L, "with,comma", null), (3L, null, -2.0)))
+    // nonConflict refuses the existing dir; append doubles the rows
+    intercept[IllegalArgumentException] {
+      FileIo.writeSeq(df, s"$dir/t", writeMode = "nonConflict")
+    }
+    FileIo.writeSeq(df, s"$dir/t", writeMode = "append")
+    assert(FileIo.readSeq(spark, s"$dir/t", schema).count() === 6)
+  }
+
+  // ------------------------------------------------------------ dx_url2base64
+
+  test("dx_url2base64: fetch to base64, null through, failure keeps value") {
+    import graft.operators.Transforms
+    val dir = tmpDir("url")
+    val payload = "hello graft é".getBytes("UTF-8")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/blob.bin"), payload)
+    val b64 = java.util.Base64.getEncoder.encodeToString(payload)
+    val df = Seq(
+      (1L, s"file://$dir/blob.bin"),
+      (2L, null.asInstanceOf[String]),
+      (3L, s"file://$dir/missing.bin"), // fetch fails → original value kept
+      (4L, "data:text/plain;base64," +
+        java.util.Base64.getEncoder.encodeToString("inline".getBytes)),
+      (5L, "data:,plain%20text")
+    ).toDF("id", "url")
+    val out = Transforms.urlToBase64(df, "url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === b64)
+    assert(out(2L) === null)
+    assert(out(3L) === s"file://$dir/missing.bin")
+    assert(new String(java.util.Base64.getDecoder.decode(out(4L))) === "inline")
+    assert(new String(java.util.Base64.getDecoder.decode(out(5L))) === "plain text")
+    // non-url columns intact
+    assert(Transforms.urlToBase64(df, "url").select("id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 5L))
+  }
 }
 
 object SourcesSpec {
