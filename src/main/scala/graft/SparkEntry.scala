@@ -126,6 +126,24 @@ object SparkEntry {
       FileIo.readJsonl(s, s"$tmp/events_jsonl", ev.schema, o).orderBy("event_id")
     }),
 
+    // SequenceFile TEXT mode round-trip (reference S4 SEQ fileType)
+    "src_seq_roundtrip" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tmp = Files.createTempDirectory("graft-seq").toString
+      FileIo.writeSeq(ev, s"$tmp/events_seq")
+      FileIo.readSeq(s, s"$tmp/events_seq", ev.schema).orderBy("event_id")
+    }),
+
+    // dx_url2base64 over deterministic data: URIs (no egress in sandbox);
+    // output = base64 of the fetched body, null URLs pass through
+    "etl_url2base64" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(lit("data:;base64,"),
+          base64(col("text").cast("binary"))).as("url"))
+      Transforms.urlToBase64(docs, "url")
+        .withColumnRenamed("url", "b64").orderBy("doc_id")
+    }),
+
     "src_orc_roundtrip" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
       val tmp = Files.createTempDirectory("graft-orc").toString
@@ -377,6 +395,12 @@ object SparkEntry {
     "src_csv_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
 
     "src_jsonl_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
+
+    "src_seq_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
+
+    "etl_url2base64" -> """
+      SELECT doc_id, to_base64(encode(text)) AS b64
+      FROM documents ORDER BY doc_id""",
 
     "etl_transform_chain" -> """
       SELECT event_id,
