@@ -189,12 +189,15 @@ object Bench {
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(uniformWork))
 
-    // scaling input: 4× the headline events. The production trigger holds
-    // ~10^8 events, where per-batch fixed costs (planning, commit, footer
-    // reads) amortize — measured efficiency rises with batch size on this
-    // box (10^7: 0.60 → 10^8: 0.70), so the small-batch number would
-    // UNDER-report the deployment regime the north rule describes.
-    val scaleEvents = events * 4
+    // scaling input: 8× the headline events (~10^8). The production
+    // trigger holds ~10^8 events, where per-batch fixed costs (planning,
+    // commit, footer reads) amortize — measured efficiency rises with
+    // batch size on this box (4×10^7: 0.66-0.89 run spread → 10^8:
+    // 0.86), so a small-batch number both UNDER-reports the deployment
+    // regime the north rule describes and is noisier run-to-run.
+    val scaleEvents =
+      sys.env.get("SPARK_GRAFT_SCALING_EVENTS").map(_.toLong)
+        .getOrElse(events * 8)
     val scaleWork = workDir("graft-bench-scale")
     val scaleBinlog = time("binlog_write_scale") {
       writeBenchBinlog(spark, scaleEvents, 0, scaleWork)
@@ -245,7 +248,10 @@ object Bench {
     // Best-of-reps per level (the sandbox VM has multi-second steal
     // stalls; min wall time estimates uncontended hardware), fresh session
     // per level, untimed warmup first (JIT + codegen are per-session).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
+    // 2 timed reps (+ untimed warmup) per level: at the 10^8-event input
+    // each low-parallelism rep costs ~1.5 min — more reps buys little
+    // once the input is big enough to average over steal stalls
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt
     val levels = Seq(cpus / 8, cpus / 4, cpus / 2, cpus)
       .filter(_ >= 1).distinct.sorted
     val thrByLevel: Map[Int, Double] = levels.map { c =>

@@ -1,0 +1,129 @@
+package graft.tools
+
+import graft.Bench
+
+/** North-rule scaling evidence with REAL executor processes: the same
+  * replay job spark-submitted at two cluster sizes — N and 4N executors —
+  * using Spark's `local-cluster[E,cores,memMB]` master, which launches E
+  * separate executor JVMs (own heaps, own GC, task dispatch over RPC)
+  * against the shared tmpfs "distributed" store. This is the sandbox's
+  * closest analogue to a multi-executor cluster scale-up: unlike
+  * `local[N]` thread scaling, per-executor memory and JVM overheads stay
+  * constant while the executor COUNT changes, exactly like adding nodes.
+  * (What it cannot multiply is the box's DRAM bandwidth — the hw ceiling
+  * measured alongside in `graft.Bench` bounds that; a real 4N-node
+  * cluster adds memory channels with cores.)
+  *
+  * [[ClusterScalingBench]] (run from sbt or bare java) writes the shared
+  * binlog, then shells out to `spark-submit` once per cluster size,
+  * running [[ClusterScalingRun]] inside each cluster; parses the reported
+  * wall times and prints the efficiency JSON.
+  *
+  * Usage: sbt -batch package   # the submitted jar
+  *        sbt -batch "runMain graft.tools.ClusterScalingBench [events] [execsLow] [execsHigh] [coresPerExec]"
+  *        (defaults: 2*10^7 events, 1 -> 4 executors x 4 cores)
+  */
+object ClusterScalingBench {
+  def main(args: Array[String]): Unit = {
+    val events = if (args.length > 0) args(0).toLong else 20000000L
+    val execsLow = if (args.length > 1) args(1).toInt else 1
+    val execsHigh = if (args.length > 2) args(2).toInt else 4 * execsLow
+    val cores = if (args.length > 3) args(3).toInt else 4
+    val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "4096").toInt
+    val jar = sys.env.getOrElse("SPARK_GRAFT_JAR",
+      "target/scala-2.13/dataxspark_2.13-0.1.0.jar")
+    require(new java.io.File(jar).isFile, s"app jar missing — sbt package first: $jar")
+    val submit = sys.env.getOrElse("SPARK_HOME", "/opt/spark") + "/bin/spark-submit"
+
+    // shared inputs, written once by an embedded session
+    val work = Bench.workDir("graft-cluster-scaling")
+    val s0 = Bench.session(Runtime.getRuntime.availableProcessors())
+    s0.sparkContext.setLogLevel("WARN")
+    val binlog = Bench.writeBenchBinlog(s0, events, hotPct = 0, work)
+    s0.stop()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+
+    def runLevel(execs: Int): Double = {
+      val cmd = Seq(submit,
+        "--master", s"local-cluster[$execs,$cores,$memMb]",
+        "--conf", "spark.driver.memory=4g",
+        "--conf", s"spark.executor.memory=${memMb}m",
+        "--conf", "spark.ui.enabled=false",
+        "--class", "graft.tools.ClusterScalingRun", jar,
+        binlog, s"$work/run-$execs", (execs * cores).toString,
+        sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2"))
+      println(s"[cluster-scaling] ${cmd.mkString(" ")}")
+      val out = new StringBuilder
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var line = br.readLine()
+      while (line != null) {
+        if (line.contains("[cluster-run]")) { println(line); out.append(line).append('\n') }
+        else if (line.contains("[merge-timing]")) println(line) // GRAFT_MERGE_TIMING=1
+        line = br.readLine()
+      }
+      p.waitFor()
+      require(p.exitValue() == 0, s"spark-submit failed for $execs executors")
+      val best = out.toString.linesIterator
+        .collectFirst { case l if l.contains("best=") =>
+          l.split("best=")(1).trim.toDouble }
+      best.getOrElse(sys.error(s"no [cluster-run] best= line for $execs executors"))
+    }
+
+    val secsLow = runLevel(execsLow)
+    val secsHigh = runLevel(execsHigh)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    val thrLow = events / secsLow
+    val thrHigh = events / secsHigh
+    val eff = (thrHigh / thrLow) / (execsHigh.toDouble / execsLow)
+    println(f"[cluster-scaling] $execsLow execs: $thrLow%.0f ev/s; " +
+      f"$execsHigh execs: $thrHigh%.0f ev/s; efficiency $eff%.3f (target >= 0.8)")
+    val json = f"""{"cluster_scaling":{"mode":"local-cluster","events":$events,""" +
+      f""""cores_per_executor":$cores,"executors_low":$execsLow,""" +
+      f""""executors_high":$execsHigh,"thr_low":$thrLow%.0f,""" +
+      f""""thr_high":$thrHigh%.0f,"efficiency":$eff%.3f}}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_BENCH_OUT",
+      "/root/repo/BENCH_cluster.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+  }
+}
+
+/** The in-cluster half: replays the shared binlog through the full
+  * exactly-once merge pipeline on whatever cluster spark-submit built.
+  * Untimed warmup rep first (JIT + codegen), then best-of-reps timed.
+  * Args: binlog workDir totalCores [reps]. Prints `[cluster-run] best=S`.
+  */
+object ClusterScalingRun {
+  def main(args: Array[String]): Unit = {
+    val Array(binlog, work, coresStr) = args.take(3)
+    val reps = if (args.length > 3) args(3).toInt else 3
+    val cores = coresStr.toInt
+    // master/memory come from spark-submit; SQL tuning mirrors Bench.session
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-cluster-scaling-run")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16000000")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "8m")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val runs = (0 to reps).map { r =>
+      val res = Bench.replayBinlog(spark, binlog, s"$work/r$r", cores,
+        verifyCount = false)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$work/r$r"))
+      println(f"[cluster-run] rep $r: ${res.secs}%.2f s rows=${res.rows} " +
+        f"spillMB=${(res.spillDiskBytes + res.spillMemBytes) / 1e6}%.1f " +
+        f"shufMB=${res.shuffleWriteBytes / 1e6}%.1f")
+      res.secs
+    }.drop(1) // rep 0 = warmup
+    println(f"[cluster-run] best=${runs.min}%.3f")
+    spark.stop()
+  }
+}
