@@ -307,6 +307,32 @@ object Bench {
     val hwRatio = best2(nHigh) / best2(nLow)
     val hwEff = hwRatio / (nHigh.toDouble / nLow)
 
+    // ---- cluster scaling (north rule: N vs 4N EXECUTORS, real JVMs) ----
+    // spark-submit the same replay at 1 and 4 executor processes via
+    // local-cluster[] — the closest sandbox analogue of adding nodes (see
+    // graft.tools.ClusterScaling). Measured inline so this round's bench
+    // artifact carries the evidence; falls back to the last committed
+    // BENCH_cluster.json if the submit path is unavailable here.
+    val clusterJson: Option[String] =
+      if (sys.env.get("SPARK_GRAFT_CLUSTER").contains("0")) None
+      else scala.util.Try {
+        val ev = sys.env.get("SPARK_GRAFT_CLUSTER_EVENTS").map(_.toLong)
+          .getOrElse(40000000L)
+        val r = graft.tools.ClusterScaling.measure(ev, 1, 4, 4)
+        println(f"[bench] cluster scaling 1->4 executors: ${r.thrLow}%.0f -> " +
+          f"${r.thrHigh}%.0f ev/s, efficiency ${r.efficiency}%.3f")
+        r.json.stripSuffix("}") + ""","provenance":"measured_inline"}"""
+      }.recoverWith { case e =>
+        println(s"[bench] inline cluster scaling failed (${e.getMessage}); " +
+          "falling back to committed BENCH_cluster.json")
+        scala.util.Try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("/root/repo/BENCH_cluster.json")), "UTF-8").trim
+          txt.stripPrefix("""{"cluster_scaling":""").stripSuffix("}")
+            .stripSuffix("}") + ""","provenance":"committed_artifact"}"""
+        }
+      }.toOption
+
     val total = results.values.sum
     def fmt(m: scala.collection.Map[String, Double]) =
       m.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
@@ -320,6 +346,7 @@ object Bench {
       f""""thr_low":${thr(0)}%.0f,"thr_high":${thr(1)}%.0f,"efficiency":$eff%.3f,""" +
       f""""hw_cpu_ceiling":$hwEff%.3f,"efficiency_vs_ceiling":${eff / hwEff}%.3f,""" +
       s""""curve_events_per_sec":$curveJson,"pairs":$pairsJson},""" +
+      clusterJson.map(c => s""""cluster_scaling":$c,""").getOrElse("") +
       s""""bench_events":$events,"cpus":$cpus,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] decoration, which broke the
     // driver's JSON parse in round 1 — ALSO write the line to a file

@@ -231,6 +231,29 @@ object SparkEntry {
       Dedup.simHashPairs(Dedup.simHash(docs(s, dir), "doc_id", "text"), maxDist = 3)
         .orderBy("id_a", "id_b")),
 
+    // the flagship training-corpus preparation pipeline, operators
+    // composed end-to-end: quality gate → language-ID gate → exact dedup
+    // (keep min doc_id per normalized-text fingerprint) → MinHash-LSH
+    // near-dup clustering (keep min doc_id per cluster). Every stage is
+    // individually oracle-checked above; this entry pins the COMPOSITION
+    // against one DuckDB query. Scale: each stage is a hash agg or a
+    // banded equi-join — no all-pairs work enters the plan.
+    "corpus_prep" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"), col("source"), col("text"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      val gated = scored.filter(col("quality") >= 0.55 && col("lang_pred") =!= "und")
+      val canon = Dedup.exactGroups(gated, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val uniq = gated.join(canon, Seq("doc_id"), "left_semi")
+      val drops = Dedup.clusters(Dedup.minHashLshPairs(uniq, "doc_id", "text"))
+        .filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
+      uniq.join(drops, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "lang_pred", "quality", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------------------ similarity (embeddings)
     "ann_topk" -> ((s, dir) =>
       Ann.bruteForceTopKFast(embs(s, dir), "vec_id", "embedding", 5)
@@ -296,14 +319,16 @@ object SparkEntry {
 
   // ================================================================ oracles
 
-  /** 3-gram shingle set per doc, shared by the jaccard/minhash oracles. */
-  private val duckShingles = """
+  /** 3-gram shingle set per doc (parameterized by source relation),
+    * shared by the jaccard/minhash/corpus-prep oracles. */
+  private def duckShinglesFrom(rel: String) = s"""
     SELECT DISTINCT doc_id AS id, s FROM (
       SELECT doc_id, t, unnest(
         [array_to_string(t[i+1:i+3], ' ')
          FOR i IN range(greatest(len(t)-2, 1))]) AS s
-      FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
-            FROM documents))"""
+      FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+            FROM $rel))"""
+  private val duckShingles = duckShinglesFrom("documents")
 
   /** tf-weighted token rows (one per (doc, token)) feeding simhash. */
   private val duckSimhash = """
@@ -509,6 +534,64 @@ object SparkEntry {
         UNION
         SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id)
       SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""",
+
+    // the composed pipeline: same stage formulas as the individual
+    // text_quality / text_langid / dedup_exact / dedup_minhash_lsh /
+    // dedup_clusters oracles, chained over narrowing CTEs
+    "corpus_prep" -> s"""
+      WITH RECURSIVE scored AS (
+        SELECT doc_id, source, text,
+          round(0.4 * least(n::DOUBLE / 50.0, 1.0)
+              + 0.4 * (d::DOUBLE / n)
+              + 0.2 * least(sw::DOUBLE / 3.0, 1.0), 6) AS quality,
+          CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+               WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+               WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+               WHEN es >= fr AND es >= zh THEN 'es'
+               WHEN fr >= zh THEN 'fr'
+               ELSE 'zh' END AS lang_pred,
+          n AS n_tokens
+        FROM (
+          SELECT doc_id, source, text,
+            len(t) AS n, len(list_distinct(t)) AS d,
+            len(list_filter(t, x -> x IN ('the', 'a'))) AS sw,
+            len(list_filter(t, x -> x IN ('der','die','und','das','ein'))) AS de,
+            len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS en,
+            len(list_filter(t, x -> x IN ('el','la','de','los','que'))) AS es,
+            len(list_filter(t, x -> x IN ('le','la','les','des','une'))) AS fr,
+            len(list_filter(t, x -> x IN ('的','是','了','在','和'))) AS zh
+          FROM (SELECT doc_id, source, text, string_split(text, ' ') AS t
+                FROM documents))),
+      gated AS (
+        SELECT * FROM scored WHERE quality >= 0.55 AND lang_pred <> 'und'),
+      canon AS (
+        SELECT min(doc_id) AS doc_id FROM gated
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+      uniq AS (SELECT g.* FROM gated g JOIN canon c ON g.doc_id = c.doc_id),
+      sh AS (${duckShinglesFrom("uniq")}),
+      card AS (SELECT id, count(*) AS c FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN card ca ON ca.id = id_a
+        JOIN card cb ON cb.id = id_b
+        WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.8),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id),
+      drops AS (
+        SELECT id FROM (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        WHERE id <> cluster)
+      SELECT doc_id, source, lang_pred, quality, n_tokens
+      FROM uniq WHERE doc_id NOT IN (SELECT id FROM drops)
+      ORDER BY doc_id""",
 
     "dedup_simhash" -> s"$duckSimhash\nORDER BY id",
 

@@ -14,29 +14,76 @@ import graft.Bench
   * measured alongside in `graft.Bench` bounds that; a real 4N-node
   * cluster adds memory channels with cores.)
   *
-  * [[ClusterScalingBench]] (run from sbt or bare java) writes the shared
-  * binlog, then shells out to `spark-submit` once per cluster size,
-  * running [[ClusterScalingRun]] inside each cluster; parses the reported
-  * wall times and prints the efficiency JSON.
+  * [[ClusterScaling.measure]] writes the shared binlog, then shells out
+  * to `spark-submit` once per cluster size, running [[ClusterScalingRun]]
+  * inside each cluster; it parses the reported wall times and returns the
+  * throughput + efficiency. [[graft.Bench]] embeds the result in its JSON
+  * (`cluster_scaling` key) so the per-round bench artifact carries the
+  * north-rule evidence; [[ClusterScalingBench]] is the standalone CLI.
   *
-  * Usage: sbt -batch package   # the submitted jar
-  *        sbt -batch "runMain graft.tools.ClusterScalingBench [events] [execsLow] [execsHigh] [coresPerExec]"
-  *        (defaults: 2*10^7 events, 1 -> 4 executors x 4 cores)
+  * Usage: sbt -batch "runMain graft.tools.ClusterScalingBench [events] [execsLow] [execsHigh] [coresPerExec]"
+  *        (defaults: 4*10^7 events, 1 -> 4 executors x 4 cores; the app
+  *        jar is zipped fresh from target/scala-2.13/classes)
   */
-object ClusterScalingBench {
-  def main(args: Array[String]): Unit = {
-    val events = if (args.length > 0) args(0).toLong else 20000000L
-    val execsLow = if (args.length > 1) args(1).toInt else 1
-    val execsHigh = if (args.length > 2) args(2).toInt else 4 * execsLow
-    val cores = if (args.length > 3) args(3).toInt else 4
+object ClusterScaling {
+
+  final case class Result(events: Long, coresPerExec: Int, execsLow: Int,
+      execsHigh: Int, thrLow: Double, thrHigh: Double) {
+    def efficiency: Double =
+      (thrHigh / thrLow) / (execsHigh.toDouble / execsLow)
+    /** Inner JSON object (no outer key). */
+    def json: String =
+      f"""{"mode":"local-cluster","events":$events,""" +
+        f""""cores_per_executor":$coresPerExec,"executors_low":$execsLow,""" +
+        f""""executors_high":$execsHigh,"thr_low":$thrLow%.0f,""" +
+        f""""thr_high":$thrHigh%.0f,"efficiency":$efficiency%.3f}"""
+  }
+
+  /** The spark-submitted application jar. Preference: explicit
+    * `SPARK_GRAFT_JAR`; else a jar zipped fresh from the compiled classes
+    * directory (always in sync with the code just built — a stale
+    * `sbt package` artifact would silently measure old code). Spark and
+    * commons-io come from /opt/spark/jars on the submit classpath, so the
+    * app jar only needs the graft classes. */
+  def appJar(workDir: String): String = {
+    sys.env.get("SPARK_GRAFT_JAR").filter(j => new java.io.File(j).isFile)
+      .getOrElse {
+        val classes = java.nio.file.Paths.get("target/scala-2.13/classes")
+        require(java.nio.file.Files.isDirectory(classes),
+          s"no compiled classes at $classes — run from the repo root after compile")
+        val jar = java.nio.file.Paths.get(workDir, "graft-app.jar")
+        val zos = new java.util.zip.ZipOutputStream(
+          java.nio.file.Files.newOutputStream(jar))
+        try {
+          val files = java.nio.file.Files.walk(classes).iterator()
+          while (files.hasNext) {
+            val p = files.next()
+            if (java.nio.file.Files.isRegularFile(p)) {
+              zos.putNextEntry(new java.util.zip.ZipEntry(
+                classes.relativize(p).toString.replace('\\', '/')))
+              java.nio.file.Files.copy(p, zos)
+              zos.closeEntry()
+            }
+          }
+        } finally zos.close()
+        jar.toString
+      }
+  }
+
+  /** Run the replay job at `execsLow` and `execsHigh` executors over the
+    * same `events`-row binlog; returns measured throughput at both.
+    * Spark sessions: caller must have NO active session (each level gets
+    * its own cluster). */
+  def measure(events: Long, execsLow: Int, execsHigh: Int, cores: Int,
+      reps: Int = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt)
+      : Result = {
     val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "4096").toInt
-    val jar = sys.env.getOrElse("SPARK_GRAFT_JAR",
-      "target/scala-2.13/dataxspark_2.13-0.1.0.jar")
-    require(new java.io.File(jar).isFile, s"app jar missing — sbt package first: $jar")
     val submit = sys.env.getOrElse("SPARK_HOME", "/opt/spark") + "/bin/spark-submit"
+    require(new java.io.File(submit).canExecute, s"no spark-submit at $submit")
 
     // shared inputs, written once by an embedded session
     val work = Bench.workDir("graft-cluster-scaling")
+    val jar = appJar(work)
     val s0 = Bench.session(Runtime.getRuntime.availableProcessors())
     s0.sparkContext.setLogLevel("WARN")
     val binlog = Bench.writeBenchBinlog(s0, events, hotPct = 0, work)
@@ -51,8 +98,7 @@ object ClusterScalingBench {
         "--conf", s"spark.executor.memory=${memMb}m",
         "--conf", "spark.ui.enabled=false",
         "--class", "graft.tools.ClusterScalingRun", jar,
-        binlog, s"$work/run-$execs", (execs * cores).toString,
-        sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2"))
+        binlog, s"$work/run-$execs", (execs * cores).toString, reps.toString)
       println(s"[cluster-scaling] ${cmd.mkString(" ")}")
       val out = new StringBuilder
       val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
@@ -72,18 +118,29 @@ object ClusterScalingBench {
       best.getOrElse(sys.error(s"no [cluster-run] best= line for $execs executors"))
     }
 
-    val secsLow = runLevel(execsLow)
-    val secsHigh = runLevel(execsHigh)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
-    val thrLow = events / secsLow
-    val thrHigh = events / secsHigh
-    val eff = (thrHigh / thrLow) / (execsHigh.toDouble / execsLow)
-    println(f"[cluster-scaling] $execsLow execs: $thrLow%.0f ev/s; " +
-      f"$execsHigh execs: $thrHigh%.0f ev/s; efficiency $eff%.3f (target >= 0.8)")
-    val json = f"""{"cluster_scaling":{"mode":"local-cluster","events":$events,""" +
-      f""""cores_per_executor":$cores,"executors_low":$execsLow,""" +
-      f""""executors_high":$execsHigh,"thr_low":$thrLow%.0f,""" +
-      f""""thr_high":$thrHigh%.0f,"efficiency":$eff%.3f}}"""
+    try {
+      val secsLow = runLevel(execsLow)
+      val secsHigh = runLevel(execsHigh)
+      Result(events, cores, execsLow, execsHigh,
+        thrLow = events / secsLow, thrHigh = events / secsHigh)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+  }
+}
+
+/** Standalone CLI for [[ClusterScaling.measure]]; also writes the result
+  * to `BENCH_cluster.json` (env `SPARK_GRAFT_CLUSTER_BENCH_OUT`). */
+object ClusterScalingBench {
+  def main(args: Array[String]): Unit = {
+    val events = if (args.length > 0) args(0).toLong else 40000000L
+    val execsLow = if (args.length > 1) args(1).toInt else 1
+    val execsHigh = if (args.length > 2) args(2).toInt else 4 * execsLow
+    val cores = if (args.length > 3) args(3).toInt else 4
+    val r = ClusterScaling.measure(events, execsLow, execsHigh, cores)
+    println(f"[cluster-scaling] ${r.execsLow} execs: ${r.thrLow}%.0f ev/s; " +
+      f"${r.execsHigh} execs: ${r.thrHigh}%.0f ev/s; " +
+      f"efficiency ${r.efficiency}%.3f (target >= 0.8)")
+    val json = s"""{"cluster_scaling":${r.json}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_BENCH_OUT",
       "/root/repo/BENCH_cluster.json")

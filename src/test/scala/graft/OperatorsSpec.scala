@@ -269,6 +269,27 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh === exact) // near-identical pairs always collide in ≥1 table
   }
 
+  // ------------------------------------------------------- corpus pipeline
+
+  test("corpus_prep composition: stages narrow monotonically, keeps are canonical") {
+    val out = SparkEntry.queries("corpus_prep")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(out.length > 0 && out.length <= total)
+    // survivors carry gate-passing values and no nulls
+    out.foreach { r =>
+      assert(!r.anyNull)
+      assert(r.getAs[Double]("quality") >= 0.55)
+      assert(r.getAs[String]("lang_pred") != "und")
+    }
+    // near-dup keep-one: no two survivors are still near-dups of each other
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id").isInCollection(ids))
+    val residualPairs = Dedup.minHashLshPairs(docs, "doc_id", "text").count()
+    assert(residualPairs === 0L, "survivors must be pairwise non-near-dup")
+  }
+
   // ------------------------------------------------------------ bpe tokens
 
   test("bpeTokens splits letter runs, digit runs, punctuation marks") {
