@@ -605,7 +605,7 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       val part = withB.filter(col(BucketCol).isInCollection(deltaSet))
       phase("delta-write", t0) {
         if (opts.alignedDeltaWrite && !opts.dedupDeltaWrites)
-          part.write.partitionBy(BucketCol).parquet(s"$root/$rel")
+          bloomKeyed(part.write).partitionBy(BucketCol).parquet(s"$root/$rel")
         else
           writeBucketed(part, s"$root/$rel", batchSlots, dedup = opts.dedupDeltaWrites)
       }
@@ -903,9 +903,23 @@ class IceliteTable(val spark: SparkSession, val root: String) {
         Lww.latestBucketed(salted, Model.keyCols, Seq("_event_ts", "_seq"),
           BucketCol, "_ksalt")
     val out = if (dropTombstones) deduped.filter(!col("_deleted")) else deduped
-    out.drop("_ksalt")
-      .write.partitionBy(BucketCol).parquet(absDir)
+    bloomKeyed(out.drop("_ksalt").write)
+      .partitionBy(BucketCol).parquet(absDir)
   }
+
+  /** Every data-file write carries a parquet bloom filter on `conv_id`
+    * (adaptive sizing — parquet-mr picks the smallest candidate for the
+    * observed NDV, so small delta files pay bytes proportional to their
+    * actual key count, not a worst-case guess). Point lookups then skip
+    * row groups without the key INSIDE a bucket: bucket pruning cuts the
+    * read to 1/buckets of the table, the bloom cuts it again to ~the one
+    * file generation actually holding the key — min/max stats cannot do
+    * this because hash-bucketed key strings span each file's whole range.
+    * `turn_idx` needs no bloom (low cardinality; row-group min/max works).
+    * Build cost is a hash per row — noise against the encode path. */
+  private def bloomKeyed(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+    w.option("parquet.bloom.filter.enabled#conv_id", "true")
+      .option("parquet.bloom.filter.adaptive.enabled#conv_id", "true")
 
   /** Enumerate files under a staged write dir into manifest entries.
     * Footer row counts are read with a small thread pool — a sequential

@@ -92,13 +92,20 @@ object ClusterScaling {
     org.apache.spark.sql.SparkSession.clearDefaultSession()
 
     def runLevel(execs: Int): Double = {
+      // per-executor JIT warmup must be EQUAL across levels: one warmup
+      // pass spreads its tasks over E executor JVMs, so each JVM warms E×
+      // slower — without this, the high level is measured cold and the
+      // efficiency under-reports (observed: 4-exec reps still dropping
+      // 30→26→20 s while 1-exec had converged)
+      val warmups = math.max(1, execs / execsLow)
       val cmd = Seq(submit,
         "--master", s"local-cluster[$execs,$cores,$memMb]",
         "--conf", "spark.driver.memory=4g",
         "--conf", s"spark.executor.memory=${memMb}m",
         "--conf", "spark.ui.enabled=false",
         "--class", "graft.tools.ClusterScalingRun", jar,
-        binlog, s"$work/run-$execs", (execs * cores).toString, reps.toString)
+        binlog, s"$work/run-$execs", (execs * cores).toString, reps.toString,
+        warmups.toString)
       println(s"[cluster-scaling] ${cmd.mkString(" ")}")
       val out = new StringBuilder
       val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
@@ -151,13 +158,16 @@ object ClusterScalingBench {
 
 /** The in-cluster half: replays the shared binlog through the full
   * exactly-once merge pipeline on whatever cluster spark-submit built.
-  * Untimed warmup rep first (JIT + codegen), then best-of-reps timed.
-  * Args: binlog workDir totalCores [reps]. Prints `[cluster-run] best=S`.
+  * `warmups` untimed reps first (JIT + codegen — per-executor, see
+  * [[ClusterScaling.measure]]), then best-of-`reps` timed.
+  * Args: binlog workDir totalCores [reps] [warmups].
+  * Prints `[cluster-run] best=S`.
   */
 object ClusterScalingRun {
   def main(args: Array[String]): Unit = {
     val Array(binlog, work, coresStr) = args.take(3)
     val reps = if (args.length > 3) args(3).toInt else 3
+    val warmups = if (args.length > 4) args(4).toInt else 1
     val cores = coresStr.toInt
     // master/memory come from spark-submit; SQL tuning mirrors Bench.session
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -171,15 +181,16 @@ object ClusterScalingRun {
       .config("spark.sql.parquet.compression.codec", "snappy")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val runs = (0 to reps).map { r =>
+    val runs = (0 until warmups + reps).map { r =>
       val res = Bench.replayBinlog(spark, binlog, s"$work/r$r", cores,
         verifyCount = false)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$work/r$r"))
-      println(f"[cluster-run] rep $r: ${res.secs}%.2f s rows=${res.rows} " +
+      val kind = if (r < warmups) "warmup" else "timed"
+      println(f"[cluster-run] rep $r ($kind): ${res.secs}%.2f s rows=${res.rows} " +
         f"spillMB=${(res.spillDiskBytes + res.spillMemBytes) / 1e6}%.1f " +
         f"shufMB=${res.shuffleWriteBytes / 1e6}%.1f")
       res.secs
-    }.drop(1) // rep 0 = warmup
+    }.drop(warmups)
     println(f"[cluster-run] best=${runs.min}%.3f")
     spark.stop()
   }
