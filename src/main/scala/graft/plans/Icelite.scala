@@ -605,9 +605,10 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       val part = withB.filter(col(BucketCol).isInCollection(deltaSet))
       phase("delta-write", t0) {
         if (opts.alignedDeltaWrite && !opts.dedupDeltaWrites)
-          bloomKeyed(part.write).partitionBy(BucketCol).parquet(s"$root/$rel")
+          part.write.partitionBy(BucketCol).parquet(s"$root/$rel")
         else
-          writeBucketed(part, s"$root/$rel", batchSlots, dedup = opts.dedupDeltaWrites)
+          writeBucketed(part, s"$root/$rel", batchSlots,
+            dedup = opts.dedupDeltaWrites, bloom = false)
       }
       newFiles ++= phase("delta-list", t0) { listStaged(rel, "delta", schemaId, stats) }
     }
@@ -873,7 +874,8 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     * exchange; `partitionBy(bkt)` lays files per bucket. Slot counts come
     * from the merge's own bucket stats — no extra counting job. */
   private def writeBucketed(df: DataFrame, absDir: String, slots: Map[Int, Int],
-      dropTombstones: Boolean = false, dedup: Boolean = true): Unit = {
+      dropTombstones: Boolean = false, dedup: Boolean = true,
+      bloom: Boolean = true): Unit = {
     val hot = slots.filter(_._2 > 1)
     // IMPORTANT: the salt must stay a non-foldable expression even in the
     // no-hot-bucket case. A literal 0 constant-folds out of the grouping,
@@ -903,23 +905,34 @@ class IceliteTable(val spark: SparkSession, val root: String) {
         Lww.latestBucketed(salted, Model.keyCols, Seq("_event_ts", "_seq"),
           BucketCol, "_ksalt")
     val out = if (dropTombstones) deduped.filter(!col("_deleted")) else deduped
-    bloomKeyed(out.drop("_ksalt").write)
+    val w = out.drop("_ksalt").write
+    (if (bloom) bloomKeyed(w) else w)
       .partitionBy(BucketCol).parquet(absDir)
   }
 
-  /** Every data-file write carries a parquet bloom filter on `conv_id`
-    * (adaptive sizing — parquet-mr picks the smallest candidate for the
-    * observed NDV, so small delta files pay bytes proportional to their
-    * actual key count, not a worst-case guess). Point lookups then skip
-    * row groups without the key INSIDE a bucket: bucket pruning cuts the
-    * read to 1/buckets of the table, the bloom cuts it again to ~the one
-    * file generation actually holding the key — min/max stats cannot do
-    * this because hash-bucketed key strings span each file's whole range.
-    * `turn_idx` needs no bloom (low cardinality; row-group min/max works).
-    * Build cost is a hash per row — noise against the encode path. */
+  /** BASE (compacted/rebucketed) files carry a parquet bloom filter on
+    * `conv_id` — adaptive sizing, so bytes track the file's actual key
+    * count (~1 B/key ≈ 1% of data). Point lookups then skip row groups
+    * without the key INSIDE a bucket: bucket pruning cuts the read to
+    * 1/buckets of the table, the bloom cuts it again past the base
+    * generations that cannot hold the key — min/max stats cannot do this
+    * because hash-bucketed key strings span each file's whole range, and
+    * at base-file cardinality the complete-dictionary fallback (parquet's
+    * built-in exact filter) has long overflowed. DELTA writes skip the
+    * bloom deliberately: they are the ingest hot path, and delta files
+    * are small and short-lived (folded at `compactThreshold`) — pure
+    * build cost, little skip value ([[graft.tools.LookupBench]] A/B).
+    * `turn_idx` needs no bloom (low cardinality; min/max works). */
   private def bloomKeyed(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
-    w.option("parquet.bloom.filter.enabled#conv_id", "true")
-      .option("parquet.bloom.filter.adaptive.enabled#conv_id", "true")
+    // -Dgraft.keyBloom=false: A/B control for graft.tools.LookupBench only.
+    // adaptive sizing MUST use the un-suffixed key — the `#conv_id` form is
+    // silently ignored for this option (measured: 1.05 MB flat bloom with
+    // the suffix vs 0.26 MB for 311k keys ≈ 0.85 B/key without); global is
+    // safe because blooms are only ENABLED for conv_id
+    if (!sys.props.get("graft.keyBloom").contains("false"))
+      w.option("parquet.bloom.filter.enabled#conv_id", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+    else w
 
   /** Enumerate files under a staged write dir into manifest entries.
     * Footer row counts are read with a small thread pool — a sequential

@@ -142,7 +142,10 @@ class EngineSpec extends SparkSpec {
 
   test("data files carry a conv_id bloom filter; bloom-filtered lookup matches") {
     val root = tmpDir("t5b")
-    val cfg = Ingest.Config(s"$root/table", s"$root/ckpt", "w0", buckets = 2)
+    // compactThreshold=0 (COW): blooms ride BASE files only — the delta
+    // hot path skips them by design
+    val cfg = Ingest.Config(s"$root/table", s"$root/ckpt", "w0", buckets = 2,
+      opts = Icelite.Options(compactThreshold = 0))
     // high-cardinality keys: parquet only materializes a bloom once the
     // column overflows its dictionary page (a complete dictionary is
     // already an exact membership filter — bloom would be redundant), so
