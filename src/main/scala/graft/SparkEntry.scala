@@ -46,6 +46,39 @@ object SparkEntry {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** Two-phase replay behind the snapshot-history queries: replay the first
+    * half of the binlog segments, remember that snapshot id, replay the
+    * rest. Compaction is disabled (`compactThreshold = MaxValue`) so phase-2
+    * row versions stay in raw delta files — [[Icelite.IceliteTable.changesSince]]
+    * then returns exactly the phase-2 events, which a declarative oracle can
+    * reproduce as `WHERE seq >= cutoff`. The cutoff segment is
+    * `max(1, (maxSeg + 1) / 2)` — the same arithmetic the oracle SQL runs on
+    * `max(seq)`, so both sides split the log at the identical event. */
+  private def replayHalves(spark: SparkSession, sfDir: String)
+      : (graft.plans.IceliteTable, Long) = {
+    val work = Files.createTempDirectory("graft-halves").toString
+    val binlog = s"$work/binlog"
+    val ch = Changelog.fromEvents(spark, sfDir)
+    Changelog.writeBinlog(ch, binlog, shards = 8, segSize = 4096)
+    val cfg = Ingest.Config(s"$work/table", s"$work/ckpt", writerId = "verify",
+      buckets = 16, opts = Icelite.Options(compactThreshold = Int.MaxValue))
+    val all = Changelog.readBinlog(spark, binlog)
+    val segs = all.select("seg").distinct().collect().map(_.getInt(0)).sorted
+    val cutSeg = math.max(1, (segs.max + 1) / 2)
+    // batch ids strictly increase across both phases: the idempotence gate
+    // (writerId, batchId) must see each batch as new
+    var batchId = -1L
+    def apply1(sg: Int): Unit = {
+      batchId += 1
+      Ingest.applyBatch(spark, cfg, all.filter(col("seg") === sg), batchId)
+    }
+    segs.filter(_ < cutSeg).foreach(apply1)
+    val table = Icelite.load(spark, cfg.tablePath)
+    val midSnap = table.snapshot().snapshotId
+    segs.filter(_ >= cutSeg).foreach(apply1)
+    (table, midSnap)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ CDC core (events)
     "cdc_changelog" -> ((s, dir) =>
@@ -57,6 +90,39 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")),
 
     "cdc_replay_final" -> ((s, dir) => replayFinal(s, dir)),
+
+    // time-travel read (Iceberg VERSION AS OF): the table as of the
+    // mid-replay snapshot — old manifests stay readable after later commits
+    "cdc_time_travel" -> ((s, dir) => {
+      val (table, midSnap) = replayHalves(s, dir)
+      table.readAt(midSnap).orderBy("conv_id", "turn_idx")
+    }),
+
+    // incremental scan (Iceberg incremental-read analogue): every row
+    // version committed after the mid-replay snapshot, tombstones included
+    "cdc_changes_since" -> ((s, dir) => {
+      val (table, midSnap) = replayHalves(s, dir)
+      table.changesSince(midSnap)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), col("ts"), col("_event_ts").as("event_ts"),
+          col("_seq").as("seq"), col("_deleted").as("deleted"))
+        .orderBy("seq")
+    }),
+
+    // manifest-pruned point lookup: one bucket's files, predicate pushed
+    // into the parquet scan — the engine's splitPk-range-pruning analogue
+    "cdc_point_lookup" -> ((s, dir) => {
+      val ch = Changelog.fromEvents(s, dir)
+      val target = ch.agg(min(col("conv_id"))).collect()(0).getString(0)
+      val work = Files.createTempDirectory("graft-lookup").toString
+      val binlog = s"$work/binlog"
+      Changelog.writeBinlog(ch, binlog, shards = 8, segSize = 4096)
+      val cfg = Ingest.Config(s"$work/table", s"$work/ckpt", writerId = "verify",
+        buckets = 16)
+      Ingest.replay(spark = s, cfg = cfg,
+        batches = Seq(Changelog.readBinlog(s, binlog)))
+      Icelite.load(s, cfg.tablePath).lookup(target).orderBy("turn_idx")
+    }),
 
     "cdc_heavy_hitters" -> ((s, dir) =>
       Skew.heavyHitters(Changelog.fromEvents(s, dir), "conv_id", 10)),
@@ -369,6 +435,40 @@ object SparkEntry {
     "cdc_lww_dedup" -> Changelog.duckLwwSql,
 
     "cdc_replay_final" -> Changelog.duckFinalStateSql,
+
+    // cutoff arithmetic mirrors replayHalves: cutSeg = max(1, (maxSeg+1)/2),
+    // segSize 4096, so phase 1 = events with seq < cutSeg*4096
+    "cdc_time_travel" -> s"""
+      WITH ch AS (${Changelog.duckChangelogSql}),
+      b AS (SELECT greatest(1, (max(seq) // 4096 + 1) // 2) * 4096 AS cutoff FROM ch),
+      ranked AS (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY event_ts DESC, seq DESC) AS rn
+        FROM ch WHERE seq < (SELECT cutoff FROM b))
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY conv_id, turn_idx""",
+
+    "cdc_changes_since" -> s"""
+      WITH ch AS (${Changelog.duckChangelogSql}),
+      b AS (SELECT greatest(1, (max(seq) // 4096 + 1) // 2) * 4096 AS cutoff FROM ch)
+      SELECT conv_id, turn_idx, role, text, tool, ts, event_ts, seq,
+        (op = 'D') AS deleted
+      FROM ch WHERE seq >= (SELECT cutoff FROM b)
+      ORDER BY seq""",
+
+    "cdc_point_lookup" -> s"""
+      WITH ch AS (${Changelog.duckChangelogSql}),
+      ranked AS (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY event_ts DESC, seq DESC) AS rn
+        FROM ch)
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+        AND conv_id = (SELECT min(conv_id) FROM ch)
+      ORDER BY turn_idx""",
 
     "cdc_heavy_hitters" -> s"""
       WITH ch AS (${Changelog.duckChangelogSql})

@@ -420,10 +420,18 @@ class IceliteTable(val spark: SparkSession, val root: String) {
   }
 
   /** Public read: live rows, public columns only. */
-  def read(): DataFrame = {
-    val cur = snapshot()
-    val payload = payloadPart(schemaFor(cur, cur.currentSchemaId))
-    readRaw(Some(cur)).filter(!col("_deleted"))
+  def read(): DataFrame = readLive(snapshot())
+
+  /** Time-travel read — Iceberg `VERSION AS OF`: live rows, public columns,
+    * exactly as they stood at snapshot `id`. Pure metadata dispatch: the old
+    * manifest lists its own files (data files are immutable and retained
+    * until [[expireSnapshots]]), so this costs the same as [[read]] at that
+    * point in history — no log replay, no extra shuffle. */
+  def readAt(id: Long): DataFrame = readLive(snapshotAt(id))
+
+  private def readLive(snap: SnapshotMeta): DataFrame = {
+    val payload = payloadPart(schemaFor(snap, snap.currentSchemaId))
+    readRaw(Some(snap)).filter(!col("_deleted"))
       .select(payload.fieldNames.map(col).toSeq: _*)
   }
 

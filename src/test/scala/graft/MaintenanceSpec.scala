@@ -220,6 +220,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(table.changesSince(table.snapshot().snapshotId).count() === 0)
   }
 
+  test("readAt time-travels: old snapshot unchanged by later upserts/deletes") {
+    val root = tmpDir("tt")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2)
+    Ingest.applyBatch(spark, cfg,
+      batchOf(ev("I", "c1", 0, "v1", 1, 1), ev("I", "c2", 0, "x", 2, 2)), 0L)
+    val table = Icelite.load(spark, cfg.tablePath)
+    val s1 = table.snapshot().snapshotId
+    val before = table.read().orderBy("conv_id", "turn_idx").collect()
+    Ingest.applyBatch(spark, cfg,
+      batchOf(ev("U", "c1", 0, "v2", 3, 3), ev("D", "c2", 0, null, 4, 4)), 1L)
+    // current read sees the update + delete; readAt(s1) still sees v1 and c2
+    assert(table.read().count() === 1)
+    val asOf = table.readAt(s1).orderBy("conv_id", "turn_idx").collect()
+    assert(asOf.toSeq === before.toSeq)
+    assert(table.readAt(table.snapshot().snapshotId).count() === 1)
+  }
+
   test("changesSince survives a compaction triggered by a late low-seq batch") {
     val root = tmpDir("latecompact")
     val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 1,
