@@ -109,6 +109,35 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // schema evolution through the merge (north rule: add-column AND
+    // int→long widen), end-to-end oracle-checked: phase 1 carries
+    // score:int; phase 2 widens score to long (values past int range
+    // prove the upcast) and adds extra:string; phase-1 winners read back
+    // widened with extra backfilled NULL
+    "cdc_schema_evolution" -> ((s, dir) => {
+      val work = Files.createTempDirectory("graft-evo").toString
+      val binlog = s"$work/binlog"
+      val ch = Changelog.fromEvents(s, dir)
+      Changelog.writeBinlog(ch, binlog, shards = 8, segSize = 4096)
+      val cfg = Ingest.Config(s"$work/table", s"$work/ckpt",
+        writerId = "verify", buckets = 16)
+      val all = Changelog.readBinlog(s, binlog)
+      val segs = all.select("seg").distinct().collect().map(_.getInt(0)).sorted
+      val cutSeg = math.max(1, (segs.max + 1) / 2)
+      var batchId = -1L
+      def apply1(b: DataFrame): Unit = {
+        batchId += 1; Ingest.applyBatch(s, cfg, b, batchId)
+      }
+      segs.filter(_ < cutSeg).foreach(sg => apply1(
+        all.filter(col("seg") === sg)
+          .withColumn("score", (col("seq") % 1000).cast("int"))))
+      segs.filter(_ >= cutSeg).foreach(sg => apply1(
+        all.filter(col("seg") === sg)
+          .withColumn("score", col("seq") + lit(3000000000L))
+          .withColumn("extra", concat(lit("x"), col("seq").cast("string")))))
+      Icelite.load(s, cfg.tablePath).read().orderBy("conv_id", "turn_idx")
+    }),
+
     // manifest-pruned point lookup: one bucket's files, predicate pushed
     // into the parquet scan — the engine's splitPk-range-pruning analogue
     "cdc_point_lookup" -> ((s, dir) => {
@@ -457,6 +486,22 @@ object SparkEntry {
         (op = 'D') AS deleted
       FROM ch WHERE seq >= (SELECT cutoff FROM b)
       ORDER BY seq""",
+
+    "cdc_schema_evolution" -> s"""
+      WITH ch AS (${Changelog.duckChangelogSql}),
+      b AS (SELECT greatest(1, (max(seq) // 4096 + 1) // 2) * 4096 AS cutoff FROM ch),
+      ranked AS (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY event_ts DESC, seq DESC) AS rn
+        FROM ch)
+      SELECT conv_id, turn_idx, role, text, tool, ts,
+        CASE WHEN seq < (SELECT cutoff FROM b) THEN CAST(seq % 1000 AS BIGINT)
+             ELSE seq + 3000000000 END AS score,
+        CASE WHEN seq >= (SELECT cutoff FROM b)
+             THEN concat('x', CAST(seq AS VARCHAR)) ELSE NULL END AS extra
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY conv_id, turn_idx""",
 
     "cdc_point_lookup" -> s"""
       WITH ch AS (${Changelog.duckChangelogSql}),
