@@ -153,6 +153,33 @@ object SparkEntry {
       Icelite.load(s, cfg.tablePath).lookup(target).orderBy("turn_idx")
     }),
 
+    // maintenance preserves content: full replay, then an in-place bucket
+    // re-layout (16 → 32) — the read-back must still equal the replay oracle
+    "cdc_rebucket" -> ((s, dir) => {
+      val (table, _) = replayHalves(s, dir)
+      table.rebucket(32)
+      table.read().orderBy("conv_id", "turn_idx")
+    }),
+
+    // classic copy-on-write mode (compactThreshold=0: every batch compacts
+    // its touched buckets, no deltas survive) reaches the same final state
+    "cdc_compact_cow" -> ((s, dir) => {
+      val work = Files.createTempDirectory("graft-cow").toString
+      val binlog = s"$work/binlog"
+      val ch = Changelog.fromEvents(s, dir)
+      Changelog.writeBinlog(ch, binlog, shards = 8, segSize = 4096)
+      val cfg = Ingest.Config(s"$work/table", s"$work/ckpt",
+        writerId = "verify", buckets = 16,
+        opts = Icelite.Options(compactThreshold = 0))
+      val all = Changelog.readBinlog(s, binlog)
+      val segs = all.select("seg").distinct().collect().map(_.getInt(0)).sorted
+      Ingest.replay(s, cfg, segs.toSeq.map(sg => all.filter(col("seg") === sg)))
+      val table = Icelite.load(s, cfg.tablePath)
+      assert(table.snapshot().files.forall(_.kind == "base"),
+        "compactThreshold=0 must leave no delta files")
+      table.read().orderBy("conv_id", "turn_idx")
+    }),
+
     "cdc_heavy_hitters" -> ((s, dir) =>
       Skew.heavyHitters(Changelog.fromEvents(s, dir), "conv_id", 10)),
 
@@ -464,6 +491,9 @@ object SparkEntry {
     "cdc_lww_dedup" -> Changelog.duckLwwSql,
 
     "cdc_replay_final" -> Changelog.duckFinalStateSql,
+    // maintenance ops must not change content — same oracle as replay
+    "cdc_rebucket" -> Changelog.duckFinalStateSql,
+    "cdc_compact_cow" -> Changelog.duckFinalStateSql,
 
     // cutoff arithmetic mirrors replayHalves: cutSeg = max(1, (maxSeg+1)/2),
     // segSize 4096, so phase 1 = events with seq < cutSeg*4096
