@@ -138,6 +138,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("time travel: readAt(mid) == prefix-only replay for random cut points") {
+    for (seed <- Seq(61, 62)) {
+      val rnd = new Random(seed)
+      val events = randomEvents(rnd, 300)
+      val df = spark.createDataset(events).toDF()
+      val cut = 60 + rnd.nextInt(180) // random prefix boundary
+      // full replay in two phases, snapshot captured between them
+      val r1 = tmpDir(s"prop-tt$seed")
+      val cfg = Ingest.Config(s"$r1/t", s"$r1/c", s"w$seed", buckets = 4)
+      Ingest.applyBatch(spark, cfg, df.filter($"seq" < cut), 0L)
+      val t = Icelite.load(spark, s"$r1/t")
+      val mid = t.snapshot().snapshotId
+      Ingest.applyBatch(spark, cfg, df.filter($"seq" >= cut), 1L)
+      // reference: a table that only ever saw the prefix
+      val r2 = tmpDir(s"prop-tt$seed-ref")
+      Ingest.replay(spark, Ingest.Config(s"$r2/t", s"$r2/c", s"wr$seed",
+        buckets = 4), Seq(df.filter($"seq" < cut)))
+      assert(state(t.readAt(mid)) ===
+        state(Icelite.load(spark, s"$r2/t").read()), s"seed=$seed")
+      assert(state(t.readAt(mid)) === oracle(events.filter(_.seq < cut)))
+      // and the incremental read covers exactly the suffix row versions
+      val incSeqs = t.changesSince(mid).select("_seq").collect()
+        .map(_.getLong(0)).toSet
+      assert(incSeqs === events.filter(_.seq >= cut).map(_.seq).toSet, s"seed=$seed")
+    }
+  }
+
   test("LWW aggregation == window formulation on random data") {
     for (seed <- Seq(11, 12)) {
       val df = spark.createDataset(randomEvents(new Random(seed), 500)).toDF()
