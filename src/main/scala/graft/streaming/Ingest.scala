@@ -117,6 +117,10 @@ object Ingest {
   }
 
   def applyBatch(spark: SparkSession, cfg: Config, batchIn: DataFrame, batchId: Long): Icelite.MergeStats = {
+    // wallMs reported downstream (lineage rows, scaling statistics) covers
+    // the WHOLE batch apply — gate, fused stats pass, merge, commit — not
+    // just the merge: per-trigger cost is what deployment math needs
+    val tApply = System.nanoTime()
     // Idempotence pre-check BEFORE any side effect: a replayed micro-batch
     // (checkpoint recovery) must not re-append dead-letter rows or rerun
     // stats. The one thing a replay may do is backfill the lineage file if
@@ -205,8 +209,11 @@ object Ingest {
             (s, rs.map(_.getLong(2)).sum, rs.map(_.getLong(4)).min, rs.map(_.getLong(5)).max)
           }
         else Seq.empty
-      val stats = table.merge(batch.drop(sourceMeta: _*), batchId, cfg.writerId, cfg.opts,
+      val stats0 = table.merge(batch.drop(sourceMeta: _*), batchId, cfg.writerId, cfg.opts,
         precomputedStats = Some(bucketStats))
+      val stats =
+        if (stats0.skipped) stats0
+        else stats0.copy(wallMs = (System.nanoTime() - tApply) / 1000000)
       if (!stats.skipped) {
         val rows =
           if (shardStats.nonEmpty)
