@@ -260,16 +260,27 @@ object Bench {
     val clusterJson: Option[String] =
       if (sys.env.get("SPARK_GRAFT_CLUSTER").contains("0")) None
       else scala.util.Try {
+        // 10^8 events = 4 × 25M-event triggers: the 10^10 deployment runs
+        // ~10^8-event triggers, so per-batch fixed costs (stats job,
+        // snapshot commit) carry deployment-representative weight — at
+        // 10M-event batches they weigh 10× too much and the measured
+        // efficiency under-reports the target regime (measured: 0.68-0.72
+        // at 10M/batch vs 0.93 at 25M/batch, same code, same day).
         val ev = sys.env.get("SPARK_GRAFT_CLUSTER_EVENTS").map(_.toLong)
-          .getOrElse(40000000L)
+          .getOrElse(100000000L)
         // 2 cores/executor: 1→4 executors spans 2→8 cores, where this
         // box's per-core DRAM bandwidth is still flat (the thread curve
         // holds ~300k ev/s/core through 8 cores, then the single socket
         // saturates). A real N→4N cluster adds memory channels with the
         // cores, so the flat-bandwidth operating point is the honest
         // analogue; 4 cores/exec (16 cores) measures the box's memory
-        // wall, not the engine's scalability.
-        val r = graft.tools.ClusterScaling.measure(ev, 1, 4, 2)
+        // wall, not the engine's scalability. One interleaving keeps the
+        // inline cost near the old 2×40M while the big batches do the
+        // steal-robustness work; the history aggregate accumulates across
+        // rounds.
+        val r = graft.tools.ClusterScaling.measure(ev, 1, 4, 2,
+          interleavingsOpt = Some(sys.env.getOrElse(
+            "SPARK_GRAFT_CLUSTER_INTERLEAVE", "1").toInt))
         println(f"[bench] cluster scaling 1->4 executors: ${r.thrLow}%.0f -> " +
           f"${r.thrHigh}%.0f ev/s, efficiency ${r.efficiency}%.3f")
         graft.tools.ClusterScaling.appendAndAggregate(r).stripSuffix("}") +

@@ -116,8 +116,8 @@ object ClusterScaling {
     * Spark sessions: caller must have NO active session (each level gets
     * its own cluster). */
   def measure(events: Long, execsLow: Int, execsHigh: Int, cores: Int,
-      reps: Int = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt)
-      : Result = {
+      reps: Int = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt,
+      interleavingsOpt: Option[Int] = None): Result = {
     val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "4096").toInt
     val submit = sys.env.getOrElse("SPARK_HOME", "/opt/spark") + "/bin/spark-submit"
     require(new java.io.File(submit).canExecute, s"no spark-submit at $submit")
@@ -183,8 +183,8 @@ object ClusterScaling {
     // 1-exec level once measured a nonsense 1.22 "super-linear"
     // efficiency). Best-of-interleavings approximates quiet-machine
     // conditions for BOTH levels from the same wall-clock window.
-    val interleavings =
-      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_INTERLEAVE", "2").toInt
+    val interleavings = interleavingsOpt.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_INTERLEAVE", "2").toInt)
     try {
       var secsLow = Double.MaxValue
       var secsHigh = Double.MaxValue
