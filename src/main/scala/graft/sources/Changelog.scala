@@ -138,19 +138,27 @@ object Changelog {
     StructField("seg", IntegerType, nullable = true)))
 
   /** Write a changelog as partitioned binlog segments:
-    * `<dir>/shard=<k>/seg=<j>/part-*.parquet`, one file per (shard, seg). */
-  def writeBinlog(df: DataFrame, dir: String, shards: Int, segSize: Long): Unit =
-    df.withColumn("shard", pmod(hash(col("conv_id")), lit(shards)))
+    * `<dir>/shard=<k>/seg=<j>/part-*.parquet`, one file per (shard, seg).
+    * Maintains the [[schemaSidecarPath]] schema sidecar (widening-merge),
+    * written BEFORE the data: a crash between the two leaves the sidecar
+    * WIDER than the segments — a reader then just sees nulls for the
+    * not-yet-written column, whereas the opposite order could leave a
+    * STALE (narrow) sidecar that silently drops a new column's values on
+    * the next checkpointed stream start. */
+  def writeBinlog(df: DataFrame, dir: String, shards: Int, segSize: Long): Unit = {
+    val laid = df.withColumn("shard", pmod(hash(col("conv_id")), lit(shards)))
       .withColumn("seg", (col("seq") / lit(segSize)).cast("int"))
-      .repartition(col("shard"), col("seg"))
+    writeSchemaSidecar(dir, laid.schema)
+    laid.repartition(col("shard"), col("seg"))
       .write.partitionBy("shard", "seg").mode("append").parquet(dir)
+  }
 
   /** Batch read of the whole binlog (or a seg range for replay windows).
-    * Footer-merged like [[binlogStream]], so batch replay ingests evolved
-    * columns identically to the streaming path (a pinned static schema
-    * would silently project new columns away in `mode=batch`). */
+    * Sidecar/footer-merged like [[binlogStream]], so batch replay ingests
+    * evolved columns identically to the streaming path (a pinned static
+    * schema would silently project new columns away in `mode=batch`). */
   def readBinlog(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(dir)
+    spark.read.schema(inferBinlogSchema(spark, dir)).parquet(dir)
 
   /** Streaming tail of the binlog directory. `maxFilesPerTrigger` is the
     * rate/backpressure control — the analogue of the reference's channel
@@ -172,10 +180,7 @@ object Changelog {
     *
     * Deployment contract: a column added while a query is RUNNING reaches
     * the table only after the restart — roll schema changes by restarting
-    * the tail (runStream warns post-run if consumed segments were wider).
-    * Inference reads every footer at start; above ~10^5 segments keep a
-    * schema sidecar instead (same swap-point as the manifest note in
-    * [[graft.plans.Icelite]]). */
+    * the tail (runStream warns post-run if consumed segments were wider). */
   def binlogStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int): DataFrame = {
     val r: DataStreamReader = spark.readStream
       .schema(inferBinlogSchema(spark, dir))
@@ -183,16 +188,83 @@ object Changelog {
     r.parquet(dir)
   }
 
-  /** Footer-merged binlog schema; static [[binlogSchema]] only when the
-    * dir has no data yet. See [[binlogStream]] for the failure contract. */
+  /** Binlog schema resolution, in preference order:
+    *  1. the `_schema.json` sidecar ([[writeSchemaSidecar]]) — O(1): at
+    *     10^5+ WAL segments the footer-merge below reads every footer at
+    *     EVERY stream start, and restarts are the documented
+    *     schema-evolution mechanism, so that O(segments) driver stall sat
+    *     on the production path;
+    *  2. footer-merge over all segments — the ground truth, for foreign
+    *     binlogs without a sidecar (and the self-healing fallback for a
+    *     corrupt one);
+    *  3. static [[binlogSchema]] when the dir has no data yet.
+    * A sidecar STALER than the segments (possible only if a foreign
+    * writer appends without maintaining it) would silently narrow the
+    * stream — delete the sidecar or keep it via [[writeSchemaSidecar]];
+    * our own [[writeBinlog]] widens it before every data write.
+    * See [[binlogStream]] for the failure contract. */
   def inferBinlogSchema(spark: SparkSession, dir: String): StructType =
-    try spark.read.option("mergeSchema", "true").parquet(dir).schema
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("Unable to infer schema") ||
-            e.getMessage.contains("Path does not exist") ||
-            e.getMessage.contains("PATH_NOT_FOUND") ||
-            e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
-        binlogSchema
+    readSchemaSidecar(dir).getOrElse {
+      try spark.read.option("mergeSchema", "true").parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("Unable to infer schema") ||
+              e.getMessage.contains("Path does not exist") ||
+              e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          binlogSchema
+      }
     }
+
+  // ------------------------------------------------------------- sidecar
+
+  def schemaSidecarPath(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "_schema.json")
+
+  /** Read the schema sidecar if present and parseable; a corrupt sidecar
+    * reads as None (the footer-merge fallback is the ground truth, so
+    * falling back is safe — unlike a stale-but-parseable one). */
+  def readSchemaSidecar(dir: String): Option[StructType] =
+    if (!java.nio.file.Files.isRegularFile(schemaSidecarPath(dir))) None
+    else scala.util.Try(DataType.fromJson(java.nio.file.Files.readString(
+      schemaSidecarPath(dir))).asInstanceOf[StructType]).toOption
+
+  /** Widen the sidecar to cover `dataSchema`: shared columns keep the
+    * wider type ([[graft.plans.Icelite.canWiden]] — same rules as table
+    * evolution), new columns append as nullable (old segments lack them),
+    * and the partition columns (shard, seg) stay last, matching the
+    * footer-merged layout. Atomic replace (tmp + move): widening is
+    * monotone, so concurrent readers see either schema and both are safe.
+    * Incompatible changes throw — the binlog contract matches the table's. */
+  def writeSchemaSidecar(dir: String, dataSchema: StructType): Unit = {
+    import graft.plans.Icelite.canWiden
+    val existing = readSchemaSidecar(dir).getOrElse(StructType(Nil))
+    val widened = existing.fields.map { ef =>
+      dataSchema.fields.find(_.name == ef.name) match {
+        case None => ef
+        case Some(nf) if canWiden(nf.dataType, ef.dataType) =>
+          ef.copy(nullable = ef.nullable || nf.nullable)
+        case Some(nf) if canWiden(ef.dataType, nf.dataType) =>
+          nf.copy(nullable = ef.nullable || nf.nullable)
+        case Some(nf) => throw new IllegalArgumentException(
+          s"incompatible binlog schema change for ${ef.name}: " +
+            s"${ef.dataType} -> ${nf.dataType}")
+      }
+    }
+    val added = dataSchema.fields
+      .filterNot(f => existing.fieldNames.contains(f.name))
+      .map(f => if (existing.fields.isEmpty) f else f.copy(nullable = true))
+    val partLast = Seq("shard", "seg")
+    val all = (widened.toSeq ++ added.toSeq)
+    val merged = StructType(
+      all.filterNot(f => partLast.contains(f.name)) ++
+        partLast.flatMap(n => all.find(_.name == n)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(dir), ".schema", ".tmp")
+    java.nio.file.Files.writeString(tmp, merged.json)
+    java.nio.file.Files.move(tmp, schemaSidecarPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 }

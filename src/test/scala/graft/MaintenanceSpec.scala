@@ -120,6 +120,42 @@ class MaintenanceSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("manifest stats are write-side: exact rows, measured rebucket seq ranges prune changesSince") {
+    val root = tmpDir("manifest-stats")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 4,
+      opts = Icelite.Options(compactThreshold = 100))
+    // batch 0 touches every conversation (all buckets), seqs 0..79
+    Ingest.replay(spark, cfg, Seq(batchOf((0 until 80).map(i =>
+      ev("I", s"c${i % 16}", i / 16, s"t$i", i, i.toLong)): _*)))
+    val table = Icelite.load(spark, cfg.tablePath)
+    // non-collapsing delta append: per-BUCKET manifest row sums equal the
+    // batch's input rows exactly, with no footer read on the commit path
+    assert(table.snapshot().files.map(_.rows).sum === 80L)
+    val s1 = table.snapshot().snapshotId
+    val fromMax = table.snapshot().files.map(_.maxSeq).max
+    assert(fromMax === 79L)
+
+    // batch 1 touches ONLY c3 (one bucket), far-future seqs
+    Ingest.replay(spark, cfg.copy(checkpointDir = s"$root/ck2", writerId = "w2"),
+      Seq(batchOf(ev("U", "c3", 0, "late", 900, 9000L),
+        ev("U", "c3", 1, "late2", 901, 9001L))))
+
+    table.rebucket(8)
+    val snap = table.snapshot()
+    // measured (post-LWW) rows: manifest sum equals the physical row count
+    assert(snap.files.map(_.rows).sum === table.readRaw().count())
+    // measured per-file seq ranges: only the bucket holding c3 can carry
+    // seqs past s1 — the other buckets' files prune out of changesSince
+    // (the old conservative global range kept ALL files in scope)
+    val c3Bucket = Icelite.bucketOfKey("c3", snap.buckets)
+    val unpruned = snap.files.filter(_.maxSeq > fromMax)
+    assert(unpruned.nonEmpty && unpruned.forall(_.bucket === c3Bucket))
+    assert(snap.files.exists(_.maxSeq <= fromMax)) // something actually pruned
+    val inc = table.changesSince(s1).select("conv_id", "turn_idx", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(inc === Set(("c3", 0, "late"), ("c3", 1, "late2")))
+  }
+
   test("large file lists spill to a gzipped side manifest; reads and GC unaffected") {
     val root = tmpDir("manifest")
     sys.props("graft.manifest.inlineMax") = "4"
