@@ -282,7 +282,9 @@ object Bench {
           interleavingsOpt = Some(sys.env.getOrElse(
             "SPARK_GRAFT_CLUSTER_INTERLEAVE", "1").toInt))
         println(f"[bench] cluster scaling 1->4 executors: ${r.thrLow}%.0f -> " +
-          f"${r.thrHigh}%.0f ev/s, efficiency ${r.efficiency}%.3f")
+          f"${r.thrHigh}%.0f ev/s best-batch; run_efficiency " +
+          f"${r.runEfficiency}%.3f ${if (r.runEfficiency >= 0.8) "PASS" else "FAIL"} " +
+          f"(strict gate >= 0.8), best_batch_efficiency ${r.bestBatchEfficiency}%.3f")
         graft.tools.ClusterScaling.appendAndAggregate(r).stripSuffix("}") +
           ""","provenance":"measured_inline"}"""
       }.recoverWith { case e =>

@@ -118,8 +118,11 @@ object Ingest {
 
   def applyBatch(spark: SparkSession, cfg: Config, batchIn: DataFrame, batchId: Long): Icelite.MergeStats = {
     // wallMs reported downstream (lineage rows, scaling statistics) covers
-    // the WHOLE batch apply — gate, fused stats pass, merge, commit — not
-    // just the merge: per-trigger cost is what deployment math needs
+    // the batch apply through the snapshot commit — gate (incl. any
+    // dead-letter write), fused stats pass, merge, commit — not just the
+    // merge: per-trigger cost is what deployment math needs. The lineage
+    // write that RECORDS the value necessarily falls outside it (a few ms
+    // of driver-side JSONL).
     val tApply = System.nanoTime()
     // Idempotence pre-check BEFORE any side effect: a replayed micro-batch
     // (checkpoint recovery) must not re-append dead-letter rows or rerun

@@ -27,58 +27,103 @@ import graft.Bench
   */
 object ClusterScaling {
 
-  /** `thrLow/thrHigh` = best per-batch (steady-state) throughput;
-    * `runThrLow/runThrHigh` = whole-run totals (events / best run wall). */
+  /** `thrLow/thrHigh` = best per-batch (steady-state) throughput (the
+    * `statistic: best_batch` fields); `runThrLow/runThrHigh` = whole-run
+    * totals (events / best run wall). The HEADLINE `efficiency` key is the
+    * strict run-total ratio — the best-batch ratio (per-level maxima over
+    * non-contemporaneous windows, optimistic by construction) is reported
+    * under its own `best_batch_efficiency` key, never as the headline. */
   final case class Result(events: Long, coresPerExec: Int, execsLow: Int,
       execsHigh: Int, thrLow: Double, thrHigh: Double,
-      runThrLow: Double, runThrHigh: Double) {
-    def efficiency: Double =
+      runThrLow: Double, runThrHigh: Double,
+      tsMs: Long = System.currentTimeMillis()) {
+    def bestBatchEfficiency: Double =
       (thrHigh / thrLow) / (execsHigh.toDouble / execsLow)
     def runEfficiency: Double =
       (runThrHigh / runThrLow) / (execsHigh.toDouble / execsLow)
+    /** Headline = the strict statistic. */
+    def efficiency: Double = runEfficiency
     /** Inner JSON object (no outer key). */
     def json: String =
-      f"""{"mode":"local-cluster","statistic":"best_batch","events":$events,""" +
+      f"""{"mode":"local-cluster","statistic":"best_batch","ts_ms":$tsMs,""" +
+        f""""events":$events,""" +
         f""""cores_per_executor":$coresPerExec,"executors_low":$execsLow,""" +
         f""""executors_high":$execsHigh,"thr_low":$thrLow%.0f,""" +
-        f""""thr_high":$thrHigh%.0f,"efficiency":$efficiency%.3f,""" +
+        f""""thr_high":$thrHigh%.0f,"efficiency":$runEfficiency%.3f,""" +
+        f""""best_batch_efficiency":$bestBatchEfficiency%.3f,""" +
         f""""run_thr_low":$runThrLow%.0f,"run_thr_high":$runThrHigh%.0f,""" +
         f""""run_efficiency":$runEfficiency%.3f}"""
   }
 
+  /** History JSONL location: explicit env override, else next to the
+    * bench output file, else the working directory — library code must
+    * not hardcode an absolute repo path (it is a side effect any caller
+    * of measure-then-aggregate performs). */
+  def defaultHistoryPath: String =
+    sys.env.get("SPARK_GRAFT_CLUSTER_HISTORY").getOrElse {
+      sys.env.get("SPARK_GRAFT_CLUSTER_BENCH_OUT")
+        .flatMap(o => Option(java.nio.file.Paths.get(o).toAbsolutePath.getParent))
+        .map(_.resolve("BENCH_cluster_history.jsonl").toString)
+        .getOrElse("BENCH_cluster_history.jsonl")
+    }
+
   /** Append this run to the measurement history (JSONL) and return the
     * run's JSON extended with an `aggregate` over all history runs of the
-    * SAME configuration: per-level MAX best-batch throughput and the
-    * efficiency of those maxima. Rationale: this VM has multi-minute steal
-    * storms that can swallow one level's entire measurement window, so a
-    * single run's ratio mixes machine weather into the engine number;
-    * per-level best-of-history estimates each level's uncontended rate —
-    * the same "min wall time / best-of-N" philosophy the rest of the bench
-    * uses, aggregated across windows. Every sample is retained in the
-    * history file, so the aggregate is auditable, not cherry-picked. */
+    * SAME configuration (events, cores, executor levels, AND the
+    * `best_batch` statistic — rows measuring a different statistic never
+    * mix in): per-level MAX best-batch throughput and the efficiency of
+    * those maxima, labeled `best_of_history_efficiency`. That ratio is an
+    * UPPER-BOUND estimate (maxima taken independently per level, across
+    * windows) — audit material for this VM's multi-minute steal storms,
+    * not a headline; sample count and timestamp range are included so it
+    * is auditable. Every sample is retained in the history file. History
+    * IO failures degrade gracefully: the run's own JSON is returned
+    * without an aggregate. */
   def appendAndAggregate(r: Result,
-      histPath: String = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_HISTORY",
-        "/root/repo/BENCH_cluster_history.jsonl")): String = {
+      histPath: String = defaultHistoryPath): String = scala.util.Try {
     val p = java.nio.file.Paths.get(histPath)
+    Option(p.toAbsolutePath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p, (r.json + "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
-    val cfgKey = s""""events":${r.events},"cores_per_executor":${r.coresPerExec},""" +
-      s""""executors_low":${r.execsLow},"executors_high":${r.execsHigh}"""
-    val num = """"thr_low":(\d+).*?"thr_high":(\d+)""".r.unanchored
-    val runs = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .linesIterator.filter(_.contains(cfgKey)).toSeq
-    val samples = runs.flatMap {
-      case num(lo, hi) => Some((lo.toDouble, hi.toDouble))
-      case _ => None
-    }
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: DefaultFormats = DefaultFormats
+    val samples = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .linesIterator
+      .flatMap(l => scala.util.Try(JsonMethods.parse(l)).toOption)
+      .filter { j =>
+        (j \ "statistic").extractOpt[String].contains("best_batch") &&
+          (j \ "events").extractOpt[Long].contains(r.events) &&
+          (j \ "cores_per_executor").extractOpt[Int].contains(r.coresPerExec) &&
+          (j \ "executors_low").extractOpt[Int].contains(r.execsLow) &&
+          (j \ "executors_high").extractOpt[Int].contains(r.execsHigh)
+      }
+      .flatMap { j =>
+        for {
+          lo <- (j \ "thr_low").extractOpt[Double]
+          hi <- (j \ "thr_high").extractOpt[Double]
+        } yield (lo, hi, (j \ "ts_ms").extractOpt[Long].getOrElse(0L))
+      }.toSeq
+    require(samples.nonEmpty,
+      s"no parseable best_batch samples for this config in $histPath " +
+        "(format drift? the line just appended should always match)")
     val loMax = samples.map(_._1).max
     val hiMax = samples.map(_._2).max
     val aggEff = (hiMax / loMax) / (r.execsHigh.toDouble / r.execsLow)
+    val tss = samples.map(_._3).filter(_ > 0)
     r.json.stripSuffix("}") +
-      f""","aggregate":{"runs":${samples.size},"thr_low_best":$loMax%.0f,""" +
-      f""""thr_high_best":$hiMax%.0f,"efficiency":$aggEff%.3f}}"""
-  }
+      f""","aggregate":{"runs":${samples.size},""" +
+      (if (tss.nonEmpty) s""""ts_ms_first":${tss.min},"ts_ms_last":${tss.max},"""
+       else "") +
+      f""""thr_low_best":$loMax%.0f,"thr_high_best":$hiMax%.0f,""" +
+      f""""best_of_history_efficiency":$aggEff%.3f}}"""
+  }.recover { case e =>
+    System.err.println(s"[cluster-scaling] history aggregate unavailable " +
+      s"($histPath): ${e.getMessage}")
+    r.json
+  }.get
 
   /** The spark-submitted application jar. Preference: explicit
     * `SPARK_GRAFT_JAR`; else a jar zipped fresh from the compiled classes
@@ -161,18 +206,18 @@ object ClusterScaling {
       }
       p.waitFor()
       require(p.exitValue() == 0, s"spark-submit failed for $execs executors")
-      // primary statistic: best per-BATCH throughput (steady-state rate a
-      // 10^10 deployment's thousands of triggers run at; robust to this
-      // VM's steal storms, which a run total integrates). Falls back to
-      // events/best-run-time if the line is from an older build.
+      // per-BATCH statistic: steady-state rate a 10^10 deployment's
+      // thousands of triggers run at; robust to this VM's steal storms,
+      // which a run total integrates. The summary line must carry BOTH
+      // statistics — no fallback that would silently mix throughput
+      // definitions into the best_batch history.
       val summary = out.toString.linesIterator
         .collectFirst { case l if l.contains("best=") => l }
         .getOrElse(sys.error(s"no [cluster-run] best= line for $execs executors"))
+      require(summary.contains("best_batch_thr="),
+        s"cluster-run summary lacks best_batch_thr= (stale app jar?): $summary")
       val bestSecs = summary.split("best=")(1).trim.split("\\s+")(0).toDouble
-      val bestBatchThr =
-        if (summary.contains("best_batch_thr="))
-          summary.split("best_batch_thr=")(1).trim.toDouble
-        else events / bestSecs
+      val bestBatchThr = summary.split("best_batch_thr=")(1).trim.toDouble
       (bestSecs, bestBatchThr)
     }
 
@@ -185,6 +230,9 @@ object ClusterScaling {
     // conditions for BOTH levels from the same wall-clock window.
     val interleavings = interleavingsOpt.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_CLUSTER_INTERLEAVE", "2").toInt)
+    require(interleavings >= 1,
+      s"interleavings must be >= 1 (got $interleavings) — 0 would emit " +
+        "zero-throughput levels and NaN efficiency")
     try {
       var secsLow = Double.MaxValue
       var secsHigh = Double.MaxValue
@@ -205,7 +253,11 @@ object ClusterScaling {
 }
 
 /** Standalone CLI for [[ClusterScaling.measure]]; also writes the result
-  * to `BENCH_cluster.json` (env `SPARK_GRAFT_CLUSTER_BENCH_OUT`). */
+  * to `BENCH_cluster.json` (env `SPARK_GRAFT_CLUSTER_BENCH_OUT`).
+  * GATES on the STRICT statistic — run-total efficiency ≥ 0.8 (the north
+  * rule's bar) — printing PASS/FAIL and exiting nonzero on FAIL, so the
+  * strict number cannot silently erode behind the optimistic best-batch
+  * one. */
 object ClusterScalingBench {
   def main(args: Array[String]): Unit = {
     val events = if (args.length > 0) args(0).toLong else 40000000L
@@ -213,15 +265,26 @@ object ClusterScalingBench {
     val execsHigh = if (args.length > 2) args(2).toInt else 4 * execsLow
     val cores = if (args.length > 3) args(3).toInt else 4
     val r = ClusterScaling.measure(events, execsLow, execsHigh, cores)
-    println(f"[cluster-scaling] ${r.execsLow} execs: ${r.thrLow}%.0f ev/s; " +
-      f"${r.execsHigh} execs: ${r.thrHigh}%.0f ev/s; " +
-      f"efficiency ${r.efficiency}%.3f (target >= 0.8)")
+    println(f"[cluster-scaling] ${r.execsLow} execs: ${r.runThrLow}%.0f ev/s; " +
+      f"${r.execsHigh} execs: ${r.runThrHigh}%.0f ev/s (run-total); " +
+      f"best-batch ${r.thrLow}%.0f -> ${r.thrHigh}%.0f ev/s")
     val json = s"""{"cluster_scaling":${ClusterScaling.appendAndAggregate(r)}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_BENCH_OUT",
-      "/root/repo/BENCH_cluster.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
+      "BENCH_cluster.json")
+    scala.util.Try {
+      val p = java.nio.file.Paths.get(out)
+      Option(p.toAbsolutePath.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    }.recover { case e =>
+      System.err.println(s"[cluster-scaling] could not write $out: ${e.getMessage}")
+    }
+    val pass = r.runEfficiency >= 0.8
+    println(f"[cluster-scaling] GATE run_efficiency=${r.runEfficiency}%.3f " +
+      f"(strict run-total; best_batch_efficiency=${r.bestBatchEfficiency}%.3f) " +
+      s"=> ${if (pass) "PASS" else "FAIL"} (target >= 0.8)")
+    if (!pass) sys.exit(1)
   }
 }
 
