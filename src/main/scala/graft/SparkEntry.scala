@@ -266,6 +266,22 @@ object SparkEntry {
         .withColumnRenamed("url", "b64").orderBy("doc_id")
     }),
 
+    // the SAME chain a job would name in its config (IngestMain
+    // transforms=...), resolved through the TransformerRegistry — pins
+    // the registry parse + builtin factory semantics end to end (incl.
+    // commas inside the last argument: the dx_expr SQL)
+    "etl_registry_chain" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select("event_id", "user_id", "event_type")
+      graft.operators.TransformerRegistry.applyChain(ev,
+        "dx_pad(event_type,r,12,_)," +
+          "dx_replace(event_type,2,3,***)," +
+          "dx_substr(event_type,0,8)," +
+          "dx_filter(user_id,<=,50)," +
+          "dx_expr(uid2,user_id % 100)")
+        .orderBy("event_id")
+    }),
+
     "src_orc_roundtrip" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
       val tmp = Files.createTempDirectory("graft-orc").toString
@@ -341,9 +357,13 @@ object SparkEntry {
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")),
 
-    // duplicate clusters = connected components over the near-dup pairs
+    // duplicate clusters = connected components over the near-dup pairs.
+    // The pair source is the SCALE path (banded MinHash-LSH, no all-pairs
+    // stage) — legitimate against the exact-Jaccard recursive-CTE oracle
+    // because `dedup_minhash_lsh` separately pins LSH pairs ≡ exact
+    // Jaccard pairs on this corpus (both hash-green)
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.clusters(Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.8))
+      Dedup.clusters(Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text"))
         .orderBy("id")),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -609,6 +629,18 @@ object SparkEntry {
         concat(substr(event_type, 1, 1), '__', substr(event_type, 4)) AS masked
       FROM events
       WHERE NOT coalesce(regexp_full_match(event_type, 'err.*'), false)
+      ORDER BY event_id""",
+
+    // the registry chain replayed declaratively: rpad truncates past len
+    // in both engines; dx_replace splices [start, start+len); dx_filter
+    // match REMOVES the row (inverted sense, null keeps)
+    "etl_registry_chain" -> """
+      SELECT event_id, user_id,
+        substr(concat(substr(rpad(event_type, 12, '_'), 1, 2), '***',
+               substr(rpad(event_type, 12, '_'), 6)), 1, 8) AS event_type,
+        user_id % 100 AS uid2
+      FROM events
+      WHERE NOT coalesce(user_id <= 50, false)
       ORDER BY event_id""",
 
     // TRY_CAST: a non-numeric k must become null (= the Spark cast

@@ -57,6 +57,14 @@ object Ingest {
         * batch is scanned once per pass, which inflates the progress
         * report's numInputRows (each pass re-reads the source). */
       cacheBatch: Boolean = false,
+      /** transform chain applied to every micro-batch BEFORE the dirty
+        * gate and merge — the reference's transformer position on the
+        * record path (reader → transform → writer,
+        * `TransformerExchanger.java:53-127`); malformed rows a transform
+        * produces are caught by the gate like any other. Name a chain
+        * declaratively via IngestMain `transforms=` / the
+        * [[graft.operators.TransformerRegistry]]. */
+      transform: Option[DataFrame => DataFrame] = None,
       /** run once before/after the job — the reference's pre/post handlers
         * and preSql/postSql (F12 `JobContainer.preHandle/postHandle`,
         * W4 `CommonRdbmsWriter.java:97-137`): e.g. `s => s.sql(...)`. */
@@ -141,13 +149,14 @@ object Ingest {
           0, 0, 0, 0, 0, 0)
       }
     }
+    val transformed = cfg.transform.map(_(batchIn)).getOrElse(batchIn)
     // Cache the micro-batch once (when configured): the gate, the
     // shard-stats aggregate and the merge each run an action over it.
     // See Config.cacheBatch for when re-scanning beats caching.
     val src =
       if (cfg.cacheBatch)
-        batchIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else batchIn
+        transformed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else transformed
     try {
       // dirty-record gate: split off malformed rows BEFORE the merge; one
       // counting aggregate only when the gate is configured (hot path

@@ -27,6 +27,15 @@ import graft.streaming.Ingest
   *   dryRun=true compactThreshold=<n> dedupDeltaWrites=true
   *   alignedDeltaWrite=true (zero-shuffle delta writes — set when the
   *   binlog shard count divides the bucket count)
+  *   transforms=<chain> — named transform chain applied per micro-batch
+  *   before the gate/merge, e.g. transforms=dx_substr(text,0,80),
+  *   dx_filter(role,like,user.*) — resolved via
+  *   [[graft.operators.TransformerRegistry]] (the reference's job-config
+  *   transformer list, `TransformerRegistry.java:28-105`)
+  *   transformClasses=name:fully.qualified.Class[,name2:...] — register
+  *   user [[graft.operators.NamedTransform]] implementations first (the
+  *   runtime-loaded transformer-jar analogue; ship the jar via
+  *   spark-submit --jars)
   *   password/accessKey-shaped keys are masked in the echoed config (F13).
   */
 object IngestMain {
@@ -41,6 +50,13 @@ object IngestMain {
   def configFrom(kv: Map[String, String]): Ingest.Config = {
     def req(k: String) = kv.getOrElse(k,
       throw new IllegalArgumentException(s"missing required arg $k=<value>"))
+    // user transforms register BEFORE the chain spec resolves its names
+    kv.get("transformClasses").foreach(_.split(',').foreach { pair =>
+      val i = pair.indexOf(':')
+      require(i > 0, s"transformClasses expects name:class, got '$pair'")
+      graft.operators.TransformerRegistry.registerClass(
+        pair.substring(0, i).trim, pair.substring(i + 1).trim)
+    })
     Ingest.Config(
       tablePath = req("table"),
       checkpointDir = req("checkpoint"),
@@ -55,6 +71,12 @@ object IngestMain {
       errorPctLimit = kv.getOrElse("errorPctLimit", "1.0").toDouble,
       errorRecordLimit = kv.get("errorRecordLimit").map(_.toLong),
       metricsDir = kv.get("metricsDir"),
+      // parse eagerly: an unknown transform name fails the job at config
+      // time (preflight), not in the middle of the first micro-batch
+      transform = kv.get("transforms").map { spec =>
+        graft.operators.TransformerRegistry.parseChain(spec)
+          .foldLeft(identity[org.apache.spark.sql.DataFrame] _)(_ andThen _)
+      },
       stallTimeoutMs = kv.get("stallTimeoutMs").map(_.toLong))
   }
 

@@ -290,8 +290,79 @@ class SourcesSpec extends SparkSpec {
     assert(Transforms.urlToBase64(df, "url").select("id").collect()
       .map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  // --------------------------------------------------- transformer registry
+
+  test("registry chain spec parses and applies; last arg keeps its commas") {
+    import graft.operators.TransformerRegistry
+    val df = Seq((1L, "hello world"), (2L, "error code"), (3L, null))
+      .toDF("id", "text")
+    // dx_filter regex contains a comma ({5,7}) — must survive the parse;
+    // dx_expr SQL contains commas too
+    val out = TransformerRegistry.applyChain(df,
+      "dx_substr(text,0,5),dx_filter(text,like,e.{3,5}),dx_expr(tag,concat('v', id, '!'))")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getString(2)))
+    // 'error' (5 chars) full-matches e.{3,5} => dropped; null kept
+    assert(out.toSet === Set((1L, "hello", "v1!"), (3L, null, "v3!")))
+
+    // pad + replace builtins, in place
+    val padded = TransformerRegistry.applyChain(
+      Seq(("ab")).toDF("s"), "dx_pad(s,r,6,.),dx_replace(s,1,2,XY)")
+      .head().getString(0)
+    assert(padded === "aXY...")
+
+    intercept[IllegalArgumentException] {
+      TransformerRegistry.applyChain(df, "dx_nope(text,1)")
+    }
+    intercept[IllegalArgumentException] { // built-ins cannot be shadowed
+      TransformerRegistry.register("dx_filter", 3, _ => identity)
+    }
+  }
+
+  test("registerClass loads a NamedTransform reflectively (user-jar analogue)") {
+    import graft.operators.TransformerRegistry
+    TransformerRegistry.registerClass("dx_suffix",
+      classOf[SourcesSpec.SuffixTransform].getName)
+    val out = TransformerRegistry.applyChain(
+      Seq(("a"), ("b")).toDF("s"), "dx_suffix(s,-Z)")
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("a-Z", "b-Z"))
+  }
+
+  test("ingest applies a config-named transform chain per micro-batch") {
+    import graft.plans.Icelite
+    import graft.streaming.Ingest
+    val root = tmpDir("registry-ingest")
+    val kv = graft.tools.IngestMain.parse(Array(
+      s"table=$root/t", s"checkpoint=$root/ck", "writerId=w", "buckets=2",
+      "transforms=dx_substr(text,0,4),dx_filter(conv_id,=,cDrop)"))
+    val cfg = graft.tools.IngestMain.configFrom(kv)
+    val batch = Seq(
+      ("I", "c1", 0, "user", "longtext", null, 1L),
+      ("I", "cDrop", 0, "user", "gone", null, 2L))
+      .toDF("op", "conv_id", "turn_idx", "role", "text", "tool", "seq")
+      .withColumn("ts", expr("timestamp_millis(1700000000000 + seq)"))
+      .withColumn("event_ts", col("ts"))
+    Ingest.applyBatch(spark, cfg, batch, 0L)
+    val rows = Icelite.load(spark, cfg.tablePath).read()
+      .select("conv_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq(("c1", "long"))) // truncated; cDrop filtered
+  }
 }
 
 object SourcesSpec {
   case class Rec(id: Long, text: String)
+
+  /** Test double for the runtime-loaded transformer-jar path. */
+  class SuffixTransform extends graft.operators.NamedTransform {
+    def arity: Int = 2
+    def apply(args: Seq[String]): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+      val Seq(c, suffix) = args
+      df => df.withColumn(c, org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.col(c),
+        org.apache.spark.sql.functions.lit(suffix)))
+    }
+  }
 }
