@@ -445,26 +445,45 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     * `hash(convId) % buckets` — the engine-side analogue of partition
     * pruning (reference: splitPk range pruning, `SingleTableSplitUtil.java`).
     */
-  def lookup(convId: String): DataFrame = {
+  def lookup(convId: String): DataFrame = lookup(Seq(convId))
+
+  /** Batch point lookups (serving-style reads). Keys group by bucket
+    * DRIVER-side (no Spark job — [[Icelite.bucketOfKey]]); each touched
+    * bucket's files open ONCE with a `conv_id IN (...)` predicate pushed
+    * into the parquet scan: manifest bucket pruning cuts the read to the
+    * touched buckets, then the base files' key blooms row-group-skip
+    * inside each bucket. k keys therefore cost one scan per TOUCHED
+    * bucket — not k single lookups (which would re-open shared files k
+    * times) and not a bucket-per-key table scan. Filtering runs BEFORE
+    * the LWW aggregation (semantically identical — LWW groups per key),
+    * and buckets holding only base generations skip LWW entirely, as in
+    * [[read]]. */
+  def lookup(convIds: Seq[String]): DataFrame = {
     val snap = snapshot()
-    val b = Icelite.bucketOfKey(convId, snap.buckets) // no Spark job
-    val files = snap.files.filter(_.bucket == b)
     val cur = schemaFor(snap, snap.currentSchemaId)
     val payload = payloadPart(cur)
-    if (files.isEmpty)
-      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), payload)
-    // filter BEFORE the LWW aggregation: semantically identical (LWW groups
-    // per key) and the conv_id predicate pushes into the parquet scan —
-    // a few row groups instead of a bucket-wide shuffle
-    val df = files.groupBy(_.schemaId).map { case (sid, fs) =>
-      align(spark.read.schema(schemaFor(snap, sid))
-        .parquet(fs.map(f => s"$root/${f.path}"): _*), cur)
-    }.reduce(_.unionByName(_))
-      .filter(col("conv_id") === convId)
-    val needLww = files.exists(_.kind == "delta")
-    val resolved = if (needLww) Lww.latest(df, Model.keyCols, Seq("_event_ts", "_seq")) else df
-    resolved.filter(!col("_deleted"))
-      .select(payload.fieldNames.map(col).toSeq: _*)
+    val byBucket = convIds.distinct
+      .groupBy(k => Icelite.bucketOfKey(k, snap.buckets))
+    val parts = byBucket.toSeq.sortBy(_._1).flatMap { case (b, keys) =>
+      val files = snap.files.filter(_.bucket == b)
+      if (files.isEmpty) None
+      else {
+        val df = files.groupBy(_.schemaId).map { case (sid, fs) =>
+          align(spark.read.schema(schemaFor(snap, sid))
+            .parquet(fs.map(f => s"$root/${f.path}"): _*), cur)
+        }.reduce(_.unionByName(_))
+          .filter(col("conv_id").isInCollection(keys))
+        Some(
+          if (files.exists(_.kind == "delta"))
+            Lww.latest(df, Model.keyCols, Seq("_event_ts", "_seq"))
+          else df)
+      }
+    }
+    parts.reduceOption(_.unionByName(_))
+      .map(_.filter(!col("_deleted"))
+        .select(payload.fieldNames.map(col).toSeq: _*))
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), payload))
   }
 
   /** All retained snapshots, oldest first — Iceberg `table.history()`. */

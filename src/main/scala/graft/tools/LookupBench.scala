@@ -107,7 +107,20 @@ object LookupBench {
       println(f"[lookup-bench] bloom=$bloom deltaFiles=$gens " +
         f"median=$median%.1f ms mean=$mean%.1f ms " +
         f"bytesRead/lookup=${bytes / keys.length / 1024}%d KiB")
-      (bloom, median, mean, bytes / keys.length)
+      // multi-key batch lookup: all keys in ONE call (per-bucket grouped
+      // scans, IN pushdown + blooms) vs per-key calls vs the full-scan
+      // filter — the serving-style read the batch API exists for
+      def best2(f: => Unit): Double = (1 to 2).map { _ =>
+        val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e6
+      }.min
+      val batchMs = best2 { require(table.lookup(keys.toSeq).count() >= 0) }
+      val scanMs = best2 {
+        require(table.read().filter(org.apache.spark.sql.functions
+          .col("conv_id").isInCollection(keys.toSeq)).count() >= 0)
+      }
+      println(f"[lookup-bench] bloom=$bloom batch(${keys.length} keys)=" +
+        f"$batchMs%.1f ms perKeySum=${times.sum}%.1f ms fullScanFilter=$scanMs%.1f ms")
+      (bloom, median, mean, bytes / keys.length, batchMs, scanMs)
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     val on = results.find(_._1 == true).get
@@ -117,7 +130,8 @@ object LookupBench {
       f""""nobloom_median_ms":${off._2}%.1f,"bloom_mean_ms":${on._3}%.1f,""" +
       f""""nobloom_mean_ms":${off._3}%.1f,"bloom_bytes_per_lookup":${on._4},""" +
       f""""nobloom_bytes_per_lookup":${off._4},""" +
-      f""""bytes_ratio":${off._4.toDouble / math.max(on._4, 1)}%.2f}}"""
+      f""""bytes_ratio":${off._4.toDouble / math.max(on._4, 1)}%.2f,""" +
+      f""""batch_lookup_ms":${on._5}%.1f,"scan_filter_ms":${on._6}%.1f}}"""
     println(json)
     spark.stop()
   }

@@ -91,6 +91,14 @@ class MaintenanceSpec extends SparkSpec {
     val viaScan = table.read().filter(col("conv_id") === "c3")
       .orderBy("turn_idx").collect()
     assert(viaLookup.toSeq === viaScan.toSeq)
+    // batch lookup: keys spanning several buckets + one absent key, one
+    // call — equals the full-scan filter (and Nil returns an empty frame)
+    val keys = Seq("c3", "c7", "c0", "nope")
+    val viaBatch = table.lookup(keys).orderBy("conv_id", "turn_idx").collect()
+    val viaScanB = table.read().filter(col("conv_id").isInCollection(keys))
+      .orderBy("conv_id", "turn_idx").collect()
+    assert(viaBatch.toSeq === viaScanB.toSeq && viaBatch.nonEmpty)
+    assert(table.lookup(Seq.empty[String]).count() === 0)
     // same count is a no-op; shrinking also preserves state
     val sid16 = table.snapshot().snapshotId
     assert(table.rebucket(16) === sid16)
@@ -118,6 +126,54 @@ class MaintenanceSpec extends SparkSpec {
     // tombstone survived both rewrites: the deleted turn stays deleted
     assert(table.read().filter(col("conv_id") === "c3" && col("turn_idx") === 13)
       .count() === 0)
+  }
+
+  test("retention contract: expiry spares in-flight staged files and retained time travel") {
+    val root = tmpDir("retain")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
+      opts = Icelite.Options(compactThreshold = 100))
+    Ingest.replay(spark, cfg, Seq(
+      batchOf(ev("I", "c1", 0, "v1", 1, 1)),
+      batchOf(ev("U", "c1", 0, "v2", 2, 2)),
+      batchOf(ev("I", "c2", 0, "w", 3, 3))))
+    val table = Icelite.load(spark, cfg.tablePath)
+    val hist = table.history().map(_.snapshotId)
+    val sMid = hist(hist.size - 2)
+    val atMid = table.readAt(sMid).orderBy("conv_id", "turn_idx").collect()
+
+    // a stale orphan: unreferenced AND older than the grace window — the
+    // sweep must take THIS and spare the in-flight writer's fresh files
+    val orphanDir = java.nio.file.Paths.get(root, "t", "data", "d-999-dead", "bkt=0")
+    java.nio.file.Files.createDirectories(orphanDir)
+    val orphan = orphanDir.resolve("part-stale.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+
+    // deterministic race (same seam as the commit-race tests): expiry
+    // runs INSIDE the merge's commit window — after the merge staged its
+    // delta files, before the snapshot referencing them exists
+    var expired: Option[(Int, Int)] = None
+    table.beforeCommit = () => if (expired.isEmpty) {
+      expired = Some(Icelite.load(spark, cfg.tablePath)
+        .expireSnapshots(keepLast = 2, orphanGraceMs = 3600000L))
+    }
+    try {
+      val stats = table.merge(batchOf(ev("I", "c3", 0, "x", 4, 4)),
+        batchId = 100L, writerId = "w")
+      assert(!stats.skipped)
+    } finally table.beforeCommit = () => ()
+    assert(expired.exists(_._1 >= 1)) // old snapshots really expired mid-race
+    assert(!java.nio.file.Files.exists(orphan)) // stale orphan swept
+    // the racing writer's staged files survived the sweep: its commit's
+    // rows are all readable
+    assert(table.read().filter(col("conv_id") === "c3").count() === 1)
+    // retained snapshot: time travel yields the identical rows post-expiry
+    assert(table.readAt(sMid).orderBy("conv_id", "turn_idx").collect().toSeq
+      === atMid.toSeq)
+    // expired snapshot is gone by design
+    intercept[Exception] { table.readAt(hist.head).count() }
   }
 
   test("manifest stats are write-side: exact rows, measured rebucket seq ranges prune changesSince") {

@@ -152,6 +152,57 @@ class StreamingSpec extends SparkSpec {
     info(s"continuous phase committed batches: $continuousCommitted")
   }
 
+  test("kafka contract: rendered records parse and ingest end-to-end (no broker)") {
+    // the testable half of S10/W11 without a connector jar: produce-side
+    // KafkaShape.render (key=conv_id, delimited value) feeds a
+    // MemoryStream standing in for readStream.format("kafka"); the
+    // consume side split-parses the value (KafkaReader.java:290-351),
+    // types the change columns, and runs the FULL ingest chain (dirty
+    // gate -> dead letter -> exactly-once merge) per micro-batch
+    import org.apache.spark.sql.{Column, DataFrame}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.KafkaShape
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val root = tmpDir("kafka")
+    val names = Seq("op", "conv_id", "turn_idx", "role", "text", "tool",
+      "ts", "event_ts", "seq")
+    val ch = gen(600).cache()
+    val rendered = KafkaShape.render(ch, "conv_id", "\u0001", names)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rendered.forall(_._1 != null)) // keys partition by conversation
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w-kafka", buckets = 4,
+      deadLetterDir = Some(s"$root/dead"))
+    val input = MemoryStream[(String, String)]
+    def de(c: String): Column = nullif(col(c), lit("")) // render nullFormat=""
+    val q = input.toDF().writeStream
+      .option("checkpointLocation", s"$root/qck")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val parsed = KafkaShape.parseSplit(
+          df.select(col("_2").as("value")), "value", "\u0001", names)
+        val typed = parsed.select(
+          de("op").as("op"), de("conv_id").as("conv_id"),
+          de("turn_idx").cast("int").as("turn_idx"),
+          de("role").as("role"), de("text").as("text"), de("tool").as("tool"),
+          de("ts").cast("timestamp").as("ts"),
+          de("event_ts").cast("timestamp").as("event_ts"),
+          de("seq").cast("long").as("seq"))
+        Ingest.applyBatch(spark, cfg, typed, id); ()
+      }.start()
+    try {
+      val (first, second) = rendered.splitAt(rendered.length / 2)
+      input.addData(first.toSeq: _*); q.processAllAvailable()
+      input.addData(second.toSeq: _*)
+      // a malformed record (bad op, missing fields) must route to the
+      // dead letter, not fail the stream or reach the table
+      input.addData(("cX", "garbage-not-a-change-event"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val table = Icelite.load(spark, cfg.tablePath)
+    assert(diffEmpty(table.read(), Gen.expectedFinalState(ch)))
+    assert(spark.read.parquet(s"$root/dead").count() === 1)
+  }
+
   test("skewed stream (hot conversations) converges to the same state") {
     val root = tmpDir("st3")
     val ch = gen(3000, hot = 40).cache()
