@@ -1011,6 +1011,9 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     * incremental read can still emit — pruning stays sound. */
   private def listStagedMeasured(relDir: String, kind: String,
       schemaId: Int): List[DataFileMeta] = {
+    // a fully-collapsing write (e.g. dropTombstones over all-tombstone
+    // buckets) stages no files at all — nothing to measure or manifest
+    if (stagedPaths(relDir).isEmpty) return Nil
     val rootAbs = Paths.get(root).toAbsolutePath.normalize
     val measured = spark.read.parquet(s"$root/$relDir")
       .groupBy(input_file_name().as("_f"), col(BucketCol))

@@ -128,6 +128,20 @@ class MaintenanceSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("dropTombstones compaction of an all-tombstone table stages nothing, commits") {
+    val root = tmpDir("all-tomb")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
+      opts = Icelite.Options(compactThreshold = 100))
+    Ingest.replay(spark, cfg, Seq(
+      batchOf(ev("I", "c1", 0, "x", 1, 1)),
+      batchOf(ev("D", "c1", 0, null, 2, 2))))
+    val table = Icelite.load(spark, cfg.tablePath)
+    val sid = table.compactAll(dropTombstones = true)
+    assert(sid === table.snapshot().snapshotId)
+    assert(table.snapshot().files.isEmpty) // every row was a dropped tombstone
+    assert(table.read().count() === 0)
+  }
+
   test("retention contract: expiry spares in-flight staged files and retained time travel") {
     val root = tmpDir("retain")
     val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
