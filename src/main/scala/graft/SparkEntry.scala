@@ -153,6 +153,22 @@ object SparkEntry {
       Icelite.load(s, cfg.tablePath).lookup(target).orderBy("turn_idx")
     }),
 
+    // batch point lookup: several keys (first + last conversation + one
+    // absent), ONE lookup call — per-bucket grouped scans, IN pushdown
+    "cdc_batch_lookup" -> ((s, dir) => {
+      val ch = Changelog.fromEvents(s, dir)
+      val mm = ch.agg(min(col("conv_id")), max(col("conv_id"))).collect()(0)
+      val keys = Seq(mm.getString(0), mm.getString(1), "no-such-conversation")
+      val work = Files.createTempDirectory("graft-batch-lookup").toString
+      val binlog = s"$work/binlog"
+      Changelog.writeBinlog(ch, binlog, shards = 8, segSize = 4096)
+      val cfg = Ingest.Config(s"$work/table", s"$work/ckpt", writerId = "verify",
+        buckets = 16)
+      Ingest.replay(spark = s, cfg = cfg,
+        batches = Seq(Changelog.readBinlog(s, binlog)))
+      Icelite.load(s, cfg.tablePath).lookup(keys).orderBy("conv_id", "turn_idx")
+    }),
+
     // maintenance preserves content: full replay, then an in-place bucket
     // re-layout (16 → 32) — the read-back must still equal the replay oracle
     "cdc_rebucket" -> ((s, dir) => {
@@ -564,6 +580,19 @@ object SparkEntry {
       FROM ranked WHERE rn = 1 AND op <> 'D'
         AND conv_id = (SELECT min(conv_id) FROM ch)
       ORDER BY turn_idx""",
+
+    "cdc_batch_lookup" -> s"""
+      WITH ch AS (${Changelog.duckChangelogSql}),
+      ranked AS (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY event_ts DESC, seq DESC) AS rn
+        FROM ch)
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+        AND conv_id IN ((SELECT min(conv_id) FROM ch),
+                        (SELECT max(conv_id) FROM ch))
+      ORDER BY conv_id, turn_idx""",
 
     "cdc_heavy_hitters" -> s"""
       WITH ch AS (${Changelog.duckChangelogSql})

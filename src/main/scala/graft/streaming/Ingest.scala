@@ -262,11 +262,14 @@ object Ingest {
     def fail(msg: String) = throw new IllegalArgumentException(s"dryRun: $msg")
 
     val schema =
-      // footer-merged, like the stream itself reads it — otherwise the
-      // preflight validates one arbitrary footer's (possibly narrower)
-      // schema and misses exactly the evolution it exists to check
-      try spark.read.option("mergeSchema", "true").parquet(binlogDir).schema
-      catch { case e: Exception => fail(s"binlog unreadable at $binlogDir: ${e.getMessage}") }
+      // the sidecar when present (O(1), same source the stream reads);
+      // else footer-merged — otherwise the preflight would validate one
+      // arbitrary footer's (possibly narrower) schema and miss exactly
+      // the evolution it exists to check
+      Changelog.readSchemaSidecar(binlogDir).getOrElse {
+        try spark.read.option("mergeSchema", "true").parquet(binlogDir).schema
+        catch { case e: Exception => fail(s"binlog unreadable at $binlogDir: ${e.getMessage}") }
+      }
     val required = Seq("op", "event_ts", "seq") ++ Model.keyCols
     val missing = required.filterNot(schema.fieldNames.contains)
     if (missing.nonEmpty) fail(s"binlog lacks required columns: ${missing.mkString(", ")}")

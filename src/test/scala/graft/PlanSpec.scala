@@ -126,4 +126,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1) Filter") || plan.contains("*(1) Project"),
       s"transform stage not codegen'd:\n$plan")
   }
+
+  test("registry-named chain optimizes to the same plan as direct column code") {
+    // a config-named chain must cost exactly what hand-written Catalyst
+    // costs — the registry is a naming layer, not an interpretation layer
+    // (unlike the reference's per-record evaluate() loop)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val direct = docs
+      .withColumn("text", graft.operators.Transforms.dxSubstr($"text", 0, 5))
+      .filter(graft.operators.Transforms.keepFilter($"lang", "=", "xx"))
+    val named = graft.operators.TransformerRegistry.applyChain(docs,
+      "dx_substr(text,0,5),dx_filter(lang,=,xx)")
+    assert(named.queryExecution.optimizedPlan.canonicalized ===
+      direct.queryExecution.optimizedPlan.canonicalized,
+      s"plans diverge:\n${named.queryExecution.optimizedPlan}\nvs\n" +
+        s"${direct.queryExecution.optimizedPlan}")
+  }
 }
