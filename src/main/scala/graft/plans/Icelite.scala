@@ -225,18 +225,42 @@ object Icelite {
   private[plans] def inlineManifestMax: Int =
     sys.props.get("graft.manifest.inlineMax").map(_.toInt).getOrElse(2048)
 
+  /** Parsed-snapshot LRU. Version files are immutable once committed
+    * (atomic link creation; a version conflict throws), so caching the
+    * parsed form is sound; the key still carries the file's (mtime, size)
+    * so a table DROPPED and RECREATED at the same path with the same
+    * version id can never serve stale metadata. Kept tiny (4 entries) —
+    * the hot consumer is the ingest loop re-reading the LATEST snapshot
+    * several times per micro-batch (idempotence gate, bucket lookup,
+    * merge), which at a 10^6-file manifest would otherwise re-inflate and
+    * re-parse ~100 MB of JSON per batch on the driver. */
+  private val snapCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long, Long), SnapshotMeta](
+        8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long, Long), SnapshotMeta]): Boolean =
+        size() > 4
+    })
+
   private[plans] def readSnapshot(root: String, id: Long): SnapshotMeta = {
-    val snap = Serialization.read[SnapshotMeta](new String(
-      Files.readAllBytes(versionFile(root, id)), java.nio.charset.StandardCharsets.UTF_8))
-    snap.manifestRef match {
-      case None => snap
+    val vf = versionFile(root, id)
+    val key = (vf.toAbsolutePath.normalize.toString, id,
+      Files.getLastModifiedTime(vf).toMillis, Files.size(vf))
+    val hit = snapCache.get(key)
+    if (hit != null) return hit
+    val head = Serialization.read[SnapshotMeta](new String(
+      Files.readAllBytes(vf), java.nio.charset.StandardCharsets.UTF_8))
+    val snap = head.manifestRef match {
+      case None => head
       case Some(rel) =>
         val in = new java.util.zip.GZIPInputStream(
           Files.newInputStream(Paths.get(root, rel)))
-        try snap.copy(files = Serialization.read[List[DataFileMeta]](
+        try head.copy(files = Serialization.read[List[DataFileMeta]](
           new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)))
         finally in.close()
     }
+    snapCache.put(key, snap)
+    snap
   }
 
   /** Atomic commit: write tmp, hard-link to the final name (fails if the
