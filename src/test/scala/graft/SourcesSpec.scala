@@ -291,6 +291,21 @@ class SourcesSpec extends SparkSpec {
       .map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("enumerate expands globs, recurses directories, errors on no match") {
+    val dir = tmpDir("enum")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/sub"))
+    for (f <- Seq("a1.txt", "a2.txt", "b.csv", "sub/c.txt"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$f"), "x")
+    def names(pattern: String) =
+      FileIo.enumerate(spark, pattern).map(_.split('/').last)
+    assert(names(s"$dir/a*.txt") === Seq("a1.txt", "a2.txt"))
+    assert(names(s"$dir/a?.txt") === Seq("a1.txt", "a2.txt"))
+    // a matched directory recurses to its files (reference dir-path case)
+    assert(names(s"$dir/sub") === Seq("c.txt"))
+    assert(names(s"$dir/*").toSet === Set("a1.txt", "a2.txt", "b.csv", "c.txt"))
+    intercept[IllegalArgumentException] { FileIo.enumerate(spark, s"$dir/z*.none") }
+  }
+
   // --------------------------------------------------- transformer registry
 
   test("registry chain spec parses and applies; last arg keeps its commas") {
