@@ -315,7 +315,31 @@ object Ingest {
     */
   def runStream(spark: SparkSession, cfg: Config, binlogDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      stopAfterMs: Option[Long] = None): Unit = {
+      stopAfterMs: Option[Long] = None): Unit =
+    runStreamSource(spark, cfg,
+      Changelog.binlogStream(spark, binlogDir, cfg.maxFilesPerTrigger),
+      trigger, stopAfterMs,
+      // evolution blind spot check: a streaming query's schema is fixed,
+      // so segments written WIDER while this run consumed them lost their
+      // new columns' values — surface it loudly instead of silently
+      postRunCheck = Some { runSchema =>
+        val widerNow = Changelog.inferBinlogSchema(spark, binlogDir)
+          .fieldNames.diff(runSchema.fieldNames)
+        if (widerNow.nonEmpty)
+          System.err.println("[ingest] WARNING: binlog now carries columns " +
+            s"(${widerNow.mkString(", ")}) absent from this run's schema; any " +
+            "segments with them consumed DURING this run lost those values — " +
+            "restart ingests remaining segments with the wider schema")
+      })
+
+  /** [[runStream]] over ANY streaming change-event source (the binlog
+    * tail, a [[graft.sources.ShardCursorSource]] feed, a Kafka topic
+    * where the connector exists) — the checkpoint/idempotent-commit/
+    * watchdog/hook machinery is source-agnostic. */
+  def runStreamSource(spark: SparkSession, cfg: Config, src: DataFrame,
+      trigger: Trigger = Trigger.AvailableNow(),
+      stopAfterMs: Option[Long] = None,
+      postRunCheck: Option[org.apache.spark.sql.types.StructType => Unit] = None): Unit = {
     cfg.preHook.foreach(_(spark))
     val name = s"graft-ingest-${cfg.writerId}"
     // see Config.cacheBatch: accurate numInputRows needs one source scan
@@ -325,7 +349,6 @@ object Ingest {
       spark.streams.addListener(s); s
     }
     try {
-      val src = Changelog.binlogStream(spark, binlogDir, cfg.maxFilesPerTrigger)
       val runSchema = src.schema
       val q = src.writeStream
         .queryName(name)
@@ -349,16 +372,7 @@ object Ingest {
         throw new IllegalStateException(
           s"ingest stalled: a trigger made no progress for ${cfg.stallTimeoutMs.get} ms " +
             "(watchdog stopped the query; restart resumes from the checkpoint)")
-      // evolution blind spot check: a streaming query's schema is fixed,
-      // so segments written WIDER while this run consumed them lost their
-      // new columns' values — surface it loudly instead of silently
-      val widerNow = Changelog.inferBinlogSchema(spark, binlogDir)
-        .fieldNames.diff(runSchema.fieldNames)
-      if (widerNow.nonEmpty)
-        System.err.println("[ingest] WARNING: binlog now carries columns " +
-          s"(${widerNow.mkString(", ")}) absent from this run's schema; any " +
-          "segments with them consumed DURING this run lost those values — " +
-          "restart ingests remaining segments with the wider schema")
+      postRunCheck.foreach(_(runSchema))
       cfg.postHook.foreach(_(spark))
     } finally sink.foreach(spark.streams.removeListener)
   }

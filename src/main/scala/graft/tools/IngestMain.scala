@@ -16,6 +16,10 @@ import graft.streaming.Ingest
   *   mode=stream|batch|continuous (default stream; continuous = long-
   *   running Trigger.ProcessingTime tail, intervalMs=<ms> default 2000,
   *   stopAfterMs=<ms> bounds the run for smoke tests)
+  *   mode=shards feed=<name> [feedClass=name:fully.qualified.Class] —
+  *   ingest from a registered shard-cursor feed
+  *   ([[graft.sources.ShardCursorSource]], the DataHub/OTS pattern)
+  *   instead of a binlog dir
   *   mode=compact|rebucket|expire — table maintenance without an ingest
   *   run (the Iceberg procedure analogues): compact folds delta files,
   *   rebucket newBuckets=<n> re-spreads a table that outgrew its bucket
@@ -81,12 +85,14 @@ object IngestMain {
   }
 
   private val MaintenanceModes = Set("compact", "rebucket", "expire")
+  /** modes that read no binlog dir (maintenance + non-binlog sources) */
+  private val NoBinlogModes = MaintenanceModes + "shards"
 
   def main(args: Array[String]): Unit = {
     val kv = parse(args)
     val cfg = configFrom(kv)
     val mode = kv.getOrElse("mode", "stream")
-    val binlog = if (MaintenanceModes.contains(mode)) "" else kv.getOrElse("binlog",
+    val binlog = if (NoBinlogModes.contains(mode)) "" else kv.getOrElse("binlog",
       throw new IllegalArgumentException("missing required arg binlog=<dir>"))
     println("[ingest] config: " + Masking.mask(kv).toSeq.sorted
       .map { case (k, v) => s"$k=$v" }.mkString(" "))
@@ -101,7 +107,7 @@ object IngestMain {
       else builder.master(kv.getOrElse("master", "local[8]"))).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      if (!MaintenanceModes.contains(mode)) {
+      if (!NoBinlogModes.contains(mode)) {
         Ingest.dryRun(spark, cfg, binlog).foreach(c => println(s"[ingest] check: $c"))
         if (kv.get("dryRun").contains("true")) {
           println("[ingest] dryRun=true — validation only, no data moved")
@@ -121,6 +127,22 @@ object IngestMain {
             .expireSnapshots(kv.getOrElse("keepLast", "5").toInt)
           println(s"[ingest] expired $snaps snapshots, deleted $files orphan files")
         case "stream" => Ingest.runStream(spark, cfg, binlog)
+        case "shards" =>
+          // shard-cursor source (S11 pattern): feedClass=name:class
+          // registers a ShardFeed implementation reflectively, feed=<name>
+          // selects it (pre-registered names work too)
+          kv.get("feedClass").foreach { pair =>
+            val i = pair.indexOf(':')
+            require(i > 0, s"feedClass expects name:class, got '$pair'")
+            graft.sources.ShardFeeds.register(pair.substring(0, i).trim,
+              Class.forName(pair.substring(i + 1).trim).getDeclaredConstructor()
+                .newInstance().asInstanceOf[graft.sources.ShardFeed])
+          }
+          val feed = kv.getOrElse("feed",
+            throw new IllegalArgumentException("mode=shards needs feed=<name>"))
+          Ingest.runStreamSource(spark, cfg, spark.readStream
+            .format(classOf[graft.sources.ShardCursorSource].getName)
+            .option("feed", feed).load())
         case "continuous" => Ingest.runStream(spark, cfg, binlog,
           org.apache.spark.sql.streaming.Trigger.ProcessingTime(
             kv.getOrElse("intervalMs", "2000").toLong),

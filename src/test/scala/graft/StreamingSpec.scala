@@ -227,16 +227,11 @@ class StreamingSpec extends SparkSpec {
     store(0) :+= row("I", "a", 0, "x1", 1, 1)
     store(1) :+= row("I", "b", 0, "y1", 2, 2)
     val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w-shard", buckets = 2)
-    def runOnce(): Unit = {
-      val q = spark.readStream.format(classOf[ShardCursorSource].getName)
-        .option("feed", "memfeed").load()
-        .writeStream.option("checkpointLocation", s"$root/qck")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (df: DataFrame, id: Long) =>
-          Ingest.applyBatch(spark, cfg, df, id); ()
-        }.start()
-      q.awaitTermination()
-    }
+    // the shared ingest machinery (checkpoint, idempotent gate, hooks)
+    // over the non-binlog source — what IngestMain mode=shards runs
+    def runOnce(): Unit = Ingest.runStreamSource(spark, cfg,
+      spark.readStream.format(classOf[ShardCursorSource].getName)
+        .option("feed", "memfeed").load())
     runOnce()
     val table = Icelite.load(spark, cfg.tablePath)
     assert(table.read().count() === 2)
