@@ -165,6 +165,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("manifest row stats equal physical parquet rows across maintenance") {
+    // the write-side stats contract (no footer reads on the commit path):
+    // per-bucket manifest sums must equal the files' true row counts
+    // through delta appends, threshold compaction, compactAll and
+    // rebucket — on random data and random segmentation
+    for (seed <- Seq(71, 72)) {
+      val rnd = new Random(seed)
+      val events = randomEvents(rnd, 400)
+      val df = spark.createDataset(events).toDF()
+      val cut1 = 100 + rnd.nextInt(100)
+      val cut2 = cut1 + 50 + rnd.nextInt(100)
+      val root = tmpDir(s"prop-rows$seed")
+      val cfg = Ingest.Config(s"$root/t", s"$root/c", s"w$seed", buckets = 4,
+        opts = Icelite.Options(compactThreshold = 1 + rnd.nextInt(3)))
+      Ingest.replay(spark, cfg, Seq(
+        df.filter($"seq" < cut1),
+        df.filter($"seq" >= cut1 && $"seq" < cut2),
+        df.filter($"seq" >= cut2)))
+      val t = Icelite.load(spark, s"$root/t")
+      def invariant(tag: String): Unit = {
+        val snap = t.snapshot()
+        if (snap.files.isEmpty) return
+        // ground truth per file (a LWW rewrite may collapse away even the
+        // globally-highest seq, so compare against what the files HOLD)
+        val perFile = spark.read
+          .parquet(snap.files.map(f => s"${t.root}/${f.path}"): _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(count(lit(1)).as("n"), min("_seq").as("lo"), max("_seq").as("hi"))
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        var physical = 0L
+        snap.files.foreach { f =>
+          val (n, lo, hi) = perFile.collectFirst {
+            case (p, v) if p.endsWith(f.path) => v
+          }.getOrElse(fail(s"seed=$seed $tag: ${f.path} not on disk"))
+          physical += n
+          // manifest seq range must CONTAIN the file's true range (exact
+          // on measured paths, per-bucket-wide on fused-stats deltas) —
+          // the soundness condition for changesSince pruning
+          assert(f.minSeq <= lo && f.maxSeq >= hi, s"seed=$seed $tag ${f.path}")
+        }
+        assert(snap.files.map(_.rows).sum === physical, s"seed=$seed at $tag")
+        assert(snap.files.forall(_.rows >= 0), s"seed=$seed at $tag")
+      }
+      invariant("after replay")
+      t.compactAll(); invariant("after compactAll")
+      t.rebucket(2 + rnd.nextInt(6)); invariant("after rebucket")
+    }
+  }
+
   test("LWW aggregation == window formulation on random data") {
     for (seed <- Seq(11, 12)) {
       val df = spark.createDataset(randomEvents(new Random(seed), 500)).toDF()
