@@ -272,6 +272,21 @@ object SparkEntry {
       FileIo.readSeq(s, s"$tmp/events_seq", ev.schema).orderBy("event_id")
     }),
 
+    // composite-PK range scan (reference S5/S6: HBase rowkey ranges, OTS
+    // multi-dim PK split): sample-based lexicographic cuts over
+    // (conv_id, turn_idx), one scan per slice predicate, union — rows+hash
+    // equality against the plain changelog proves the slices partition the
+    // table (no row lost to a cut, none double-scanned)
+    "src_composite_split" -> ((s, dir) => {
+      val ch = Changelog.fromEvents(s, dir)
+      val cuts = graft.sources.RangeSplit.compositeCuts[String, Int](
+        ch, "conv_id", "turn_idx", n = 8)(_.getString(0), _.getInt(1))
+      val preds = graft.sources.RangeSplit.compositePredicates(
+        "conv_id", "turn_idx", cuts,
+        graft.sources.RangeSplit.sqlString, (b: Int) => b.toString)
+      preds.map(p => ch.filter(expr(p))).reduce(_.unionAll(_)).orderBy("seq")
+    }),
+
     // dx_url2base64 over deterministic data: URIs (no egress in sandbox);
     // output = base64 of the fetched body, null URLs pass through
     "etl_url2base64" -> ((s, dir) => {
@@ -522,6 +537,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "cdc_changelog" ->
+      s"${Changelog.duckChangelogSql}\nORDER BY seq",
+
+    // slices of a composite-PK split must reassemble the exact table
+    "src_composite_split" ->
       s"${Changelog.duckChangelogSql}\nORDER BY seq",
 
     "cdc_lww_dedup" -> Changelog.duckLwwSql,

@@ -109,6 +109,76 @@ object RangeSplit {
     }
   }
 
+  /** Composite-PK cut points — the reference's multi-dimensional range
+    * split (S5/S6: HBase rowkey ranges `hbase11xreader/.../Hbase11xHelper
+    * .java:163-190`, OTS multi-dim PK split `otsreader/.../utils/
+    * RangeSplit.java`) restated over a DataFrame: boundaries are
+    * LEXICOGRAPHIC cut points over (pk1, pk2), so a hot pk1 value gets
+    * sub-split by pk2 where [[quantileRanges]]'s single-dim cuts would
+    * collapse into one fat slice. Cut points come from a seeded, bounded
+    * sample (the reference's Oracle `SAMPLE(0.1)` strategy,
+    * `SingleTableSplitUtil.java:293-388`) sorted driver-side — the collect
+    * is capped at `maxSample` pairs, O(1) in table size. Returns ≤ n-1
+    * sorted distinct cuts (duplicates collapse; fewer slices may result).
+    * Feed to [[compositePredicates]]. */
+  def compositeCuts[A: Ordering, B: Ordering](
+      df: org.apache.spark.sql.DataFrame, pk1: String, pk2: String, n: Int,
+      maxSample: Int = 100000, seed: Long = 42L)(
+      getA: org.apache.spark.sql.Row => A, getB: org.apache.spark.sql.Row => B)
+      : Seq[(A, B)] = {
+    import org.apache.spark.sql.functions.col
+    require(n >= 1 && maxSample >= n, s"bad composite split: n=$n sample=$maxSample")
+    if (n == 1) return Seq.empty
+    val keys = df.select(col(pk1), col(pk2)).na.drop()
+    val total = keys.count()
+    if (total == 0) return Seq.empty
+    // 1.2 oversample so the post-sample row count lands near maxSample even
+    // with Bernoulli variance; limit() caps the driver transfer regardless
+    val frac = math.min(1.0, maxSample.toDouble * 1.2 / total)
+    val sample = keys.sample(withReplacement = false, frac, seed)
+      .limit(maxSample).collect()
+      .map(r => (getA(r), getB(r))).sorted.toSeq
+    if (sample.isEmpty) Seq.empty
+    else {
+      val m = sample.length
+      (1 until n).map(i => sample(math.min(i * m / n, m - 1))).distinct
+    }
+  }
+
+  /** Render sorted composite cut points into ≤ |cuts|+1 lexicographic range
+    * predicates plus the null catch-all — usable both as
+    * `spark.read.jdbc(url, table, predicates)` slices and as
+    * `df.filter(expr(...))`. Slice i covers `[cut(i-1), cut(i))` in
+    * (pk1, pk2) lexicographic order; the first/last slices are unbounded
+    * below/above. Every range slice requires both keys non-null (a null
+    * pk2 would otherwise satisfy the `pk1 > a` disjunct and double-count
+    * against the catch-all), so the slices partition the table: each row
+    * matches exactly one predicate. */
+  def compositePredicates[A: Ordering, B: Ordering](pk1: String, pk2: String,
+      cuts: Seq[(A, B)], quoteA: A => String, quoteB: B => String)
+      : Seq[String] = {
+    val ord = Ordering.Tuple2(Ordering[A], Ordering[B])
+    require(cuts.sliding(2).forall {
+      case Seq(a, b) => ord.lt(a, b)
+      case _         => true
+    }, "composite cuts must be strictly increasing")
+    val notNull = s"$pk1 IS NOT NULL AND $pk2 IS NOT NULL"
+    def lower(c: (A, B)) =
+      s"($pk1 > ${quoteA(c._1)} OR ($pk1 = ${quoteA(c._1)} AND $pk2 >= ${quoteB(c._2)}))"
+    def upper(c: (A, B)) =
+      s"($pk1 < ${quoteA(c._1)} OR ($pk1 = ${quoteA(c._1)} AND $pk2 < ${quoteB(c._2)}))"
+    val ranges =
+      if (cuts.isEmpty) Seq(notNull)
+      else {
+        val mids = cuts.sliding(2).collect { case Seq(a, b) =>
+          s"$notNull AND ${lower(a)} AND ${upper(b)}"
+        }.toSeq
+        (s"$notNull AND ${upper(cuts.head)}" +: mids) :+
+          s"$notNull AND ${lower(cuts.last)}"
+      }
+    ranges :+ s"($pk1 IS NULL OR $pk2 IS NULL)"
+  }
+
   /** Render ranges into scan predicates for `spark.read.jdbc(url, table,
     * predicates)`, one per slice plus the reference's `IS NULL` slice so
     * null-pk rows are not lost (`SingleTableSplitUtil.java:107-115`).

@@ -84,6 +84,45 @@ class SourcesSpec extends SparkSpec {
     assert(RangeSplit.quantileRanges(Seq(7L).toDF("pk"), "pk", 4) === Seq((7L, 7L)))
   }
 
+  test("compositeCuts sub-split a hot partition key; slices partition the table") {
+    // one conversation holds 60% of the rows — a single-dim split on
+    // conv_id collapses every interior cut onto it and leaves one fat
+    // slice; the composite (conv_id, turn_idx) cuts land INSIDE it
+    val rows = (0 until 600).map(i => ("hot", i)) ++
+      (0 until 40).flatMap(c => (0 until 10).map(i => (f"c$c%02d", i)))
+    val df = rows.toDF("conv_id", "turn_idx")
+    val cuts = RangeSplit.compositeCuts[String, Int](
+      df, "conv_id", "turn_idx", n = 8)(_.getString(0), _.getInt(1))
+    assert(cuts.nonEmpty && cuts.size <= 7)
+    assert(cuts.exists(_._1 == "hot"), s"no cut inside the hot key: $cuts")
+    val preds = RangeSplit.compositePredicates("conv_id", "turn_idx", cuts,
+      RangeSplit.sqlString, (b: Int) => b.toString)
+    // rows with a null key component go to the catch-all slice ONLY
+    val withNulls = df
+      .unionAll(Seq("x").toDF("conv_id")
+        .select(col("conv_id"), lit(null).cast("int").as("turn_idx")))
+      .unionAll(spark.range(1)
+        .select(lit(null).cast("string").as("conv_id"),
+          lit(3).cast("int").as("turn_idx")))
+    // partition property: every row matches exactly one slice predicate
+    val matches = withNulls.select(
+      preds.map(p => when(expr(p), 1).otherwise(0)).reduce(_ + _).as("m"))
+      .agg(min("m"), max("m")).head()
+    assert(matches.getInt(0) === 1 && matches.getInt(1) === 1)
+    val counts = preds.map(p => withNulls.filter(expr(p)).count())
+    assert(counts.sum === rows.size + 2)
+    assert(counts.last === 2) // the two null-key rows, nothing else
+    // balance: the hot key's 600 rows spread across slices instead of
+    // landing whole in one
+    assert(counts.init.max < 400, s"hot key not sub-split: $counts")
+    // degenerate inputs
+    assert(RangeSplit.compositeCuts[String, Int](
+      df.limit(0), "conv_id", "turn_idx", 4)(_.getString(0), _.getInt(1)) === Seq.empty)
+    assert(RangeSplit.compositePredicates("a", "b", Seq.empty[(String, Int)],
+      RangeSplit.sqlString, (b: Int) => b.toString) ===
+      Seq("a IS NOT NULL AND b IS NOT NULL", "(a IS NULL OR b IS NULL)"))
+  }
+
   test("jdbc scan assembly: min/max SQL, slice predicates, where AND") {
     val spec = Jdbc.Spec("jdbc:postgresql://h/db", "t_orders", "order_id", 3,
       where = Some("status = 'OPEN'"))
