@@ -287,6 +287,15 @@ object SparkEntry {
       preds.map(p => ch.filter(expr(p))).reduce(_.unionAll(_)).orderBy("seq")
     }),
 
+    // ES bulk-write rendering (reference W10): action line + source doc per
+    // row via to_json; the oracle rebuilds both lines in DuckDB, so the
+    // exact JSON bytes a _bulk endpoint would receive are pinned
+    "sink_es_bulk_render" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.sources.EsShape.bulkLines(ev, "events", col("event_id"),
+        Seq("event_id", "event_type", "user_id")).orderBy("bulk")
+    }),
+
     // dx_url2base64 over deterministic data: URIs (no egress in sandbox);
     // output = base64 of the fetched body, null URLs pass through
     "etl_url2base64" -> ((s, dir) => {
@@ -542,6 +551,17 @@ object SparkEntry {
     // slices of a composite-PK split must reassemble the exact table
     "src_composite_split" ->
       s"${Changelog.duckChangelogSql}\nORDER BY seq",
+
+    // byte-exact _bulk lines: DuckDB's to_json renders structs in the same
+    // compact key-ordered form as Spark's (longs unquoted, strings escaped)
+    "sink_es_bulk_render" -> """
+      SELECT concat(
+        to_json(struct_pack(index := struct_pack(
+          "_index" := 'events', "_id" := CAST(event_id AS VARCHAR)))),
+        chr(10),
+        to_json(struct_pack(event_id := event_id,
+          event_type := event_type, user_id := user_id))) AS bulk
+      FROM events ORDER BY bulk""",
 
     "cdc_lww_dedup" -> Changelog.duckLwwSql,
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.{FileIo, Jdbc, KafkaShape, RangeSplit}
+import graft.sources.{EsShape, FileIo, Jdbc, KafkaShape, RangeSplit}
 import graft.tools.Masking
 
 /** splitPk range math, Kafka value shaping, write modes, masking, and the
@@ -167,6 +167,38 @@ class SourcesSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("key", "value"))
     val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(rows === Set(("c1", "0|hello|\\N"), ("c2", "1|world|t")))
+  }
+
+  test("es bulk render: action/source pairs, chunked bodies, item errors (W10)") {
+    val df = Seq((1L, "click", "a\"b"), (2L, "view", null.asInstanceOf[String]),
+      (3L, "buy", "z")).toDF("event_id", "event_type", "note")
+    val lines = EsShape.bulkLines(df, "events", col("event_id"),
+      Seq("event_id", "event_type", "note")).orderBy("bulk")
+      .collect().map(_.getString(0))
+    // to_json escapes embedded quotes and (Spark default) omits null fields
+    assert(lines(0) ===
+      "{\"index\":{\"_index\":\"events\",\"_id\":\"1\"}}\n" +
+        "{\"event_id\":1,\"event_type\":\"click\",\"note\":\"a\\\"b\"}")
+    assert(lines(1) ===
+      "{\"index\":{\"_index\":\"events\",\"_id\":\"2\"}}\n" +
+        "{\"event_id\":2,\"event_type\":\"view\"}")
+    // bodies chunk per partition, ≤ batchSize docs each, trailing newline
+    val bodies = EsShape.bulkBodies(
+      EsShape.bulkLines(df.coalesce(1), "events", col("event_id"),
+        Seq("event_id")), batchSize = 2).collect()
+    assert(bodies.length === 2)
+    assert(bodies.forall(_.endsWith("\n")))
+    assert(bodies.map(_.linesIterator.size).toSeq === Seq(4, 2)) // 2 docs + 1 doc
+    // per-item status check: error object OR status >= 300 → dirty, by position
+    val resp = """{"took":3,"errors":true,"items":[
+      {"index":{"_id":"1","status":201}},
+      {"index":{"_id":"2","status":400,
+        "error":{"type":"mapper_parsing_exception","reason":"bad field"}}},
+      {"index":{"_id":"3","status":404}}]}"""
+    assert(EsShape.bulkItemErrors(resp) === Seq(
+      1 -> "mapper_parsing_exception: bad field", 2 -> "status 404"))
+    assert(EsShape.bulkItemErrors("""{"took":1,"errors":false,"items":[
+      {"index":{"_id":"1","status":200}}]}""") === Seq.empty)
   }
 
   // ------------------------------------------------------------ kafka shape
