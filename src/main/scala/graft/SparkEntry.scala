@@ -272,6 +272,15 @@ object SparkEntry {
       FileIo.readSeq(s, s"$tmp/events_seq", ev.schema).orderBy("event_id")
     }),
 
+    // RCFile TEXT mode round-trip (reference S4 RC fileType — columnar
+    // cells via Hive's RCFile formats, no Hive session)
+    "src_rc_roundtrip" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tmp = Files.createTempDirectory("graft-rc").toString
+      FileIo.writeRc(ev, s"$tmp/events_rc")
+      FileIo.readRc(s, s"$tmp/events_rc", ev.schema).orderBy("event_id")
+    }),
+
     // composite-PK range scan (reference S5/S6: HBase rowkey ranges, OTS
     // multi-dim PK split): sample-based lexicographic cuts over
     // (conv_id, turn_idx), one scan per slice predicate, union — rows+hash
@@ -643,6 +652,7 @@ object SparkEntry {
       WHERE op <> 'D' ORDER BY seq""",
 
     "src_orc_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
+    "src_rc_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
 
     "cdc_cell_changes" -> s"""
       WITH ch AS (${Changelog.duckChangelogSql})

@@ -182,6 +182,119 @@ object FileIo {
     } else lines.saveAsSequenceFile(path)
   }
 
+  /** RCFile TEXT mode — the reference's hdfsreader `RC` fileType
+    * (`hdfsreader/.../HdfsReader.java:80-86`, DFSUtil rcFileStartRead:
+    * ColumnarSerDe rows, each cell read as text). Cells are stored as the
+    * UTF-8 bytes of the column's string rendering with `nullFormat` for
+    * nulls — the same cell contract as [[readCsv]]/[[readSeq]], minus the
+    * delimiter problem (RC is columnar: no separator can collide with
+    * data). Uses Hive's RCFile input format directly (`hive-exec-core` is
+    * on Spark's classpath) rather than a Hive session: one `hadoopRDD`
+    * scan, string cells decoded in-task, then Catalyst casts to the
+    * declared schema — so pruning/casting stay in the engine. Splits come
+    * per RC row-group like any FileInputFormat. */
+  def readRc(spark: SparkSession, path: String, schema: StructType,
+      o: TextOptions = TextOptions()): DataFrame = {
+    import org.apache.hadoop.hive.ql.io.RCFileInputFormat
+    import org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable
+    import org.apache.hadoop.io.LongWritable
+    val conf = new org.apache.hadoop.mapred.JobConf(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.mapred.FileInputFormat.setInputPaths(conf, path)
+    val n = schema.length
+    val nullFmt = o.nullFormat
+    val rows = spark.sparkContext.hadoopRDD(conf,
+      classOf[RCFileInputFormat[LongWritable, BytesRefArrayWritable]],
+      classOf[LongWritable], classOf[BytesRefArrayWritable])
+      .map { case (_, v) =>
+        // the reader reuses the writable — materialize Strings in-task
+        // before the iterator advances (same rule as readSeq's Text copy)
+        org.apache.spark.sql.Row.fromSeq((0 until n).map { i =>
+          if (i >= v.size()) null
+          else {
+            val ref = v.get(i)
+            val s = new String(ref.getData, ref.getStart, ref.getLength,
+              java.nio.charset.StandardCharsets.UTF_8)
+            if (s == nullFmt) null else s
+          }
+        })
+      }
+    val asStrings = StructType(schema.map(f =>
+      org.apache.spark.sql.types.StructField(f.name,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    spark.createDataFrame(rows, asStrings)
+      .select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Hive's own `RCFileOutputFormat.getRecordWriter` resolves the task
+    * work dir from the MapReduce task context, which Spark's commit
+    * protocol does not populate — this thin OutputFormat writes through
+    * `RCFile.Writer` at the standard `getTaskOutputPath` instead, so part
+    * files land in the committer's attempt dir and move atomically on
+    * task commit like every other `saveAsHadoopFile` format. */
+  class RcTextOutputFormat extends org.apache.hadoop.mapred.FileOutputFormat[
+      org.apache.hadoop.io.NullWritable,
+      org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable] {
+    import org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable
+    import org.apache.hadoop.io.NullWritable
+    override def getRecordWriter(ignored: org.apache.hadoop.fs.FileSystem,
+        job: org.apache.hadoop.mapred.JobConf, name: String,
+        progress: org.apache.hadoop.util.Progressable)
+        : org.apache.hadoop.mapred.RecordWriter[NullWritable, BytesRefArrayWritable] = {
+      val file = org.apache.hadoop.mapred.FileOutputFormat.getTaskOutputPath(job, name)
+      val fs = file.getFileSystem(job)
+      val out = new org.apache.hadoop.hive.ql.io.RCFile.Writer(
+        fs, job, file, progress, null)
+      new org.apache.hadoop.mapred.RecordWriter[NullWritable, BytesRefArrayWritable] {
+        override def write(k: NullWritable, v: BytesRefArrayWritable): Unit =
+          out.append(v)
+        override def close(r: org.apache.hadoop.mapred.Reporter): Unit = out.close()
+      }
+    }
+  }
+
+  /** RCFile TEXT-mode write (closes the read/write pair like [[writeSeq]];
+    * the reference's hdfswriter never gained an RC path). Every column
+    * renders through `cast(string)` (timestamps keep micros and round-trip
+    * through Catalyst's own parser), nulls as `nullFormat`. */
+  def writeRc(df: DataFrame, path: String, o: TextOptions = TextOptions(),
+      writeMode: String = "truncate"): Unit = {
+    import org.apache.hadoop.hive.ql.io.RCFileOutputFormat
+    import org.apache.hadoop.hive.serde2.columnar.{BytesRefArrayWritable, BytesRefWritable}
+    import org.apache.hadoop.io.NullWritable
+    val spark = df.sparkSession
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) writeMode match {
+      case "truncate"    => fs.delete(target, true)
+      case "nonConflict" =>
+        throw new IllegalArgumentException(s"nonConflict: $path exists")
+      case "append"      => throw new IllegalArgumentException(
+        "append into an existing RC dir is not supported; write a sibling dir")
+      case other => throw new IllegalArgumentException(s"writeMode: $other")
+    }
+    val names = df.columns
+    val nullFmt = o.nullFormat
+    val cells = df.select(names.map(c => col(c).cast("string")): _*).rdd
+      .map { r =>
+        val arr = new BytesRefArrayWritable(names.length)
+        var i = 0
+        while (i < names.length) {
+          val s = if (r.isNullAt(i)) nullFmt else r.getString(i)
+          val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          arr.set(i, new BytesRefWritable(b, 0, b.length))
+          i += 1
+        }
+        (NullWritable.get(), arr)
+      }
+    val conf = new org.apache.hadoop.mapred.JobConf(
+      spark.sparkContext.hadoopConfiguration)
+    RCFileOutputFormat.setColumnNumber(conf, names.length)
+    cells.saveAsHadoopFile(path, classOf[NullWritable],
+      classOf[BytesRefArrayWritable], classOf[RcTextOutputFormat], conf)
+  }
+
   /** Enumerate files matching a path pattern — the reference's source
     * enumeration half (`txtfilereader/.../TxtFileReader.java`: expand the
     * configured `path` list, `*`/`?` wildcards, error on an empty match;

@@ -334,6 +334,32 @@ class SourcesSpec extends SparkSpec {
     assert(FileIo.readSeq(spark, s"$dir/t", schema).count() === 6)
   }
 
+  // ------------------------------------------------------------ RC (S4)
+
+  test("rcfile text mode round-trips schema'd rows incl nulls (S4 RC)") {
+    val dir = tmpDir("rc")
+    val df = Seq(
+      (1L, "alpha", Some(1.5)),
+      (2L, "comma, \"quote\", and\ttab", None),
+      (3L, null.asInstanceOf[String], Some(-2.0))
+    ).toDF("id", "name", "score")
+    FileIo.writeRc(df, s"$dir/t")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val back = FileIo.readRc(spark, s"$dir/t", schema)
+    // columnar cells: no delimiter/quote collision possible, unlike CSV modes
+    assert(back.collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet ===
+      Set((1L, "alpha", 1.5), (2L, "comma, \"quote\", and\ttab", null),
+        (3L, null, -2.0)))
+    intercept[IllegalArgumentException] {
+      FileIo.writeRc(df, s"$dir/t", writeMode = "nonConflict")
+    }
+    intercept[IllegalArgumentException] {
+      FileIo.writeRc(df, s"$dir/t", writeMode = "append")
+    }
+  }
+
   // ------------------------------------------------------------ dx_url2base64
 
   test("dx_url2base64: fetch to base64, null through, failure keeps value") {
