@@ -296,6 +296,20 @@ object SparkEntry {
       preds.map(p => ch.filter(expr(p))).reduce(_.unionAll(_)).orderBy("seq")
     }),
 
+    // Mongo Extended JSON round-trip (reference S12/W8 interchange form):
+    // typed rows → extended-JSON docs (wrapped int64, epoch-millis dates,
+    // md5-derived ObjectIds) → parsed back; the oracle rebuilds the id and
+    // millisecond-truncated timestamps declaratively
+    "src_mongo_extjson" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select("event_id", "event_type", "user_id", "ts")
+      val docs = graft.sources.MongoShape.renderExtended(ev,
+        substring(md5(col("event_id").cast("string")), 1, 24),
+        Seq("event_id", "event_type", "user_id", "ts"))
+      graft.sources.MongoShape.parseExtended(docs, "doc", ev.schema)
+        .orderBy("event_id")
+    }),
+
     // ES bulk-write rendering (reference W10): action line + source doc per
     // row via to_json; the oracle rebuilds both lines in DuckDB, so the
     // exact JSON bytes a _bulk endpoint would receive are pinned
@@ -560,6 +574,12 @@ object SparkEntry {
     // slices of a composite-PK split must reassemble the exact table
     "src_composite_split" ->
       s"${Changelog.duckChangelogSql}\nORDER BY seq",
+
+    "src_mongo_extjson" -> """
+      SELECT substr(md5(CAST(event_id AS VARCHAR)), 1, 24) AS _id,
+        event_id, event_type, user_id,
+        date_trunc('milliseconds', ts) AS ts
+      FROM events ORDER BY event_id""",
 
     // byte-exact _bulk lines: DuckDB's to_json renders structs in the same
     // compact key-ordered form as Spark's (longs unquoted, strings escaped)

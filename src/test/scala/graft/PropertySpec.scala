@@ -215,6 +215,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("composite split partitions random skewed tables for 3 seeds") {
+    import graft.sources.RangeSplit
+    for (seed <- Seq(11, 22, 33)) {
+      val rnd = new Random(seed)
+      // zipf-ish: a few hot conversations own most rows, plus null keys
+      val rows = (0 until 800).map { i =>
+        val conv = if (rnd.nextInt(10) < 6) s"hot${rnd.nextInt(2)}"
+                   else f"c${rnd.nextInt(50)}%03d"
+        (conv, rnd.nextInt(200))
+      }
+      val n = 2 + rnd.nextInt(10)
+      val df = rows.toDF("conv_id", "turn_idx")
+        .unionAll(Seq(("nullturn", -1)).toDF("c", "t")
+          .select(col("c").as("conv_id"), lit(null).cast("int").as("turn_idx")))
+      val cuts = RangeSplit.compositeCuts[String, Int](
+        df, "conv_id", "turn_idx", n)(_.getString(0), _.getInt(1))
+      // cuts strictly increase lexicographically (compositePredicates requires)
+      cuts.sliding(2).foreach {
+        case Seq(a, b) => assert(a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
+        case _         =>
+      }
+      val preds = RangeSplit.compositePredicates("conv_id", "turn_idx", cuts,
+        RangeSplit.sqlString, (b: Int) => b.toString)
+      // the partition property: every row matches exactly one slice
+      val m = df.select(
+        preds.map(p => when(expr(p), 1).otherwise(0)).reduce(_ + _).as("m"))
+        .agg(min("m"), max("m")).head()
+      assert(m.getInt(0) === 1 && m.getInt(1) === 1,
+        s"seed=$seed n=$n cuts=$cuts")
+    }
+  }
+
   test("LWW aggregation == window formulation on random data") {
     for (seed <- Seq(11, 12)) {
       val df = spark.createDataset(randomEvents(new Random(seed), 500)).toDF()

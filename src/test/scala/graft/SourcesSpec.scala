@@ -360,6 +360,47 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ Mongo (S12)
+
+  test("mongo extended json round-trips typed rows; objectid ranges split (S12)") {
+    val df = Seq(
+      (1L, "alpha", Some(java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123"))),
+      (2L, null.asInstanceOf[String], None)
+    ).toDF("n", "s", "t")
+    import graft.sources.MongoShape
+    val oid = lpad(hex(col("n")), 24, "0")
+    val docs = MongoShape.renderExtended(df, lower(oid), Seq("n", "s", "t"))
+    val doc1 = docs.orderBy("doc").collect()(0).getString(0)
+    // canonical extended JSON: wrapped int64 + epoch-millis date, plain strings
+    assert(doc1 === """{"_id":{"$oid":"000000000000000000000001"},""" +
+      """"n":{"$numberLong":"1"},"s":"alpha",""" +
+      """"t":{"$date":{"$numberLong":"1767323045123"}}}""")
+    val schema = StructType(Seq(StructField("n", LongType),
+      StructField("s", StringType), StructField("t", TimestampType)))
+    val back = MongoShape.parseExtended(docs, "doc", schema).orderBy("n")
+    assert(back.columns.toSeq === Seq("_id", "n", "s", "t"))
+    val rows = back.collect()
+    assert(rows(0).getString(0) === "000000000000000000000001")
+    assert(rows(0).getLong(1) === 1L && rows(0).getString(2) === "alpha")
+    assert(rows(0).getTimestamp(3) ===
+      java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123"))
+    assert(rows(1).getLong(1) === 2L && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+    // _id range split: contiguous, ordered, endpoint-inclusive 96-bit ranges
+    val r = MongoShape.objectIdRanges(
+      "000000000000000000000000", "00000000000000000000ffff", 4)
+    assert(r.size === 4)
+    assert(r.head._1 === "000000000000000000000000")
+    assert(r.last._2 === "00000000000000000000ffff")
+    r.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi === lo2)
+      case _ =>
+    }
+    assert(r.forall { case (a, b) => a.length == 24 && b.length == 24 && a <= b })
+    intercept[IllegalArgumentException] {
+      MongoShape.objectIdRanges("xyz", "00000000000000000000ffff", 4)
+    }
+  }
+
   // ------------------------------------------------------------ dx_url2base64
 
   test("dx_url2base64: fetch to base64, null through, failure keeps value") {
