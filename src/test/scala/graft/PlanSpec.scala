@@ -34,6 +34,27 @@ class PlanSpec extends SparkSpec {
       s"columns not pruned:\n$scan")
   }
 
+  test("composite slice predicates push down into the parquet scan") {
+    import graft.sources.RangeSplit
+    val dir = tmpDir("compush")
+    (0 until 100).map(i => (f"c$i%03d", i % 7)).toDF("conv_id", "turn_idx")
+      .write.parquet(s"$dir/t")
+    val preds = RangeSplit.compositePredicates("conv_id", "turn_idx",
+      Seq(("c050", 3)), RangeSplit.sqlString, (b: Int) => b.toString)
+    // the lower-bounded slice: conv_id/turn_idx bounds must reach the
+    // reader as an Or/And tree, not evaluate post-scan only — at scale
+    // this is what lets a slice skip the row groups it does not own
+    // default metadata truncation (100 chars) would cut the filter list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val scan = spark.read.parquet(s"$dir/t").filter(expr(preds(1)))
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("Or(GreaterThan(conv_id,c050)"),
+      s"composite bound not pushed:\n$scan")
+    assert(scan.contains("EqualTo(conv_id,c050)") &&
+      scan.contains("GreaterThanOrEqual(turn_idx,3)"),
+      s"tie-break bound not pushed:\n$scan")
+  }
+
   test("fused bucketed LWW write plans exactly ONE exchange (no re-shuffle)") {
     val df = spark.range(100000).select(
       concat(lit("c"), pmod($"id", lit(500))).as("conv_id"),
