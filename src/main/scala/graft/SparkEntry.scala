@@ -109,6 +109,27 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // per-partition lineage (F10 / north rule): after a full replay, the
+    // lineage table's per-batch totals — row counts and source seq
+    // ranges — must equal what a declarative pass over the changelog says
+    // each 4096-event segment contained
+    "cdc_lineage_totals" -> ((s, dir) => {
+      val work = Files.createTempDirectory("graft-lin").toString
+      val binlog = s"$work/binlog"
+      val ch = Changelog.fromEvents(s, dir)
+      Changelog.writeBinlog(ch, binlog, shards = 8, segSize = 4096)
+      val cfg = Ingest.Config(s"$work/table", s"$work/ckpt",
+        writerId = "verify", buckets = 16)
+      val all = Changelog.readBinlog(s, binlog)
+      val segs = all.select("seg").distinct().collect().map(_.getInt(0)).sorted
+      Ingest.replay(s, cfg, segs.toSeq.map(sg => all.filter(col("seg") === sg)))
+      Ingest.lineage(s, cfg)
+        .groupBy("batch_id")
+        .agg(sum("rows").as("n_rows"), min("start_seq").as("start_seq"),
+          max("end_seq").as("end_seq"))
+        .orderBy("batch_id")
+    }),
+
     // schema evolution through the merge (north rule: add-column AND
     // int→long widen), end-to-end oracle-checked: phase 1 carries
     // score:int; phase 2 widens score to long (values past int range
@@ -620,6 +641,12 @@ object SparkEntry {
         (op = 'D') AS deleted
       FROM ch WHERE seq >= (SELECT cutoff FROM b)
       ORDER BY seq""",
+
+    "cdc_lineage_totals" -> s"""
+      WITH ch AS (${Changelog.duckChangelogSql})
+      SELECT seq // 4096 AS batch_id, count(*) AS n_rows,
+        min(seq) AS start_seq, max(seq) AS end_seq
+      FROM ch GROUP BY 1 ORDER BY 1""",
 
     "cdc_schema_evolution" -> s"""
       WITH ch AS (${Changelog.duckChangelogSql}),
