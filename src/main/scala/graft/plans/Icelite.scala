@@ -513,6 +513,32 @@ class IceliteTable(val spark: SparkSession, val root: String) {
   /** All retained snapshots, oldest first — Iceberg `table.history()`. */
   def history(): Seq[SnapshotMeta] = listVersions(root).map(readSnapshot(root, _))
 
+  /** The current manifest as a DataFrame — Iceberg's `table$files`
+    * metadata-table analogue (ops/debug surface: file skew per bucket,
+    * delta pileup before compaction, seq-range pruning ranges). Built
+    * from the in-memory manifest — no data-file IO, localized to the
+    * driver like every manifest read. */
+  def filesDf(snapOpt: Option[SnapshotMeta] = None): DataFrame = {
+    import spark.implicits._
+    val snap = snapOpt.getOrElse(snapshot())
+    snap.files
+      .map(f => (f.path, f.bucket, f.kind, f.rows, f.schemaId, f.minSeq, f.maxSeq))
+      .toDF("path", "bucket", "kind", "rows", "schema_id", "min_seq", "max_seq")
+  }
+
+  /** Retained snapshots as a DataFrame — Iceberg's `table$snapshots`
+    * analogue; one row per version with commit metadata and file/row
+    * totals (rows from the write-side manifest stats). */
+  def snapshotsDf(): DataFrame = {
+    import spark.implicits._
+    history()
+      .map(s => (s.snapshotId, s.parentId, s.writerId, s.lastBatchId,
+        s.buckets, s.currentSchemaId, s.files.size.toLong,
+        s.files.map(_.rows).sum, s.committedAtMs))
+      .toDF("snapshot_id", "parent_id", "writer_id", "last_batch_id",
+        "buckets", "current_schema_id", "n_files", "n_rows", "committed_at_ms")
+  }
+
   /** Incremental changelog read (Iceberg incremental-scan analogue): every
     * row version — upserts AND tombstones — committed after snapshot `sid`,
     * i.e. with `_seq` greater than the highest sequence present then.

@@ -326,6 +326,34 @@ class MaintenanceSpec extends SparkSpec {
     assert(table.changesSince(table.snapshot().snapshotId).count() === 0)
   }
 
+  test("metadata tables: filesDf mirrors the manifest, snapshotsDf the history") {
+    val root = tmpDir("meta")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2)
+    Ingest.applyBatch(spark, cfg,
+      batchOf(ev("I", "c1", 0, "v1", 1, 1), ev("I", "c2", 0, "x", 2, 2)), 0L)
+    Ingest.applyBatch(spark, cfg, batchOf(ev("U", "c1", 0, "v2", 3, 3)), 1L)
+    val table = Icelite.load(spark, cfg.tablePath)
+    val snap = table.snapshot()
+
+    val files = table.filesDf().collect()
+    assert(files.length === snap.files.size)
+    // per-bucket manifest row sums surface exactly
+    val byBucket = files.groupBy(_.getInt(1)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    snap.files.groupBy(_.bucket).foreach { case (b, fs) =>
+      assert(byBucket(b) === fs.map(_.rows).sum)
+    }
+    assert(files.forall(r => r.getLong(5) <= r.getLong(6))) // min_seq <= max_seq
+
+    val snaps = table.snapshotsDf().orderBy("snapshot_id").collect()
+    assert(snaps.map(_.getLong(0)).toSeq === table.history().map(_.snapshotId))
+    assert(snaps.map(_.getLong(1)).toSeq === snaps.map(_.getLong(0)).map(_ - 1))
+    // row totals are write-side stats: the latest snapshot's total equals
+    // the physical row count (3 versions: 2 inserts + 1 delta upsert)
+    assert(snaps.last.getLong(7) === 3L)
+    assert(snaps.last.getLong(6) === snap.files.size.toLong)
+  }
+
   test("readAt time-travels: old snapshot unchanged by later upserts/deletes") {
     val root = tmpDir("tt")
     val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2)
