@@ -25,6 +25,9 @@ import graft.streaming.Ingest
   *   rebucket newBuckets=<n> re-spreads a table that outgrew its bucket
   *   layout, expire keepLast=<n> (default 5) drops old snapshots + GCs
   *   orphan files
+  *   mode=files|snapshots [limit=<n>] — print the metadata tables
+  *   ([[graft.plans.IceliteTable.filesDf]]/`snapshotsDf`): per-file
+  *   bucket/kind/rows/seq-range, per-snapshot commit metadata
   *   maxFilesPerTrigger=<n> deadLetterDir=<dir> errorPctLimit=<0..1>
   *   errorRecordLimit=<n> metricsDir=<dir> stallTimeoutMs=<ms> (hang
   *   monitor: fail the job if a trigger stops making progress)
@@ -84,7 +87,8 @@ object IngestMain {
       stallTimeoutMs = kv.get("stallTimeoutMs").map(_.toLong))
   }
 
-  private val MaintenanceModes = Set("compact", "rebucket", "expire")
+  private val MaintenanceModes = Set("compact", "rebucket", "expire",
+    "files", "snapshots")
   /** modes that read no binlog dir (maintenance + non-binlog sources) */
   private val NoBinlogModes = MaintenanceModes + "shards"
 
@@ -126,6 +130,12 @@ object IngestMain {
           val (snaps, files) = Icelite.load(spark, cfg.tablePath)
             .expireSnapshots(kv.getOrElse("keepLast", "5").toInt)
           println(s"[ingest] expired $snaps snapshots, deleted $files orphan files")
+        case "files" => // metadata inspection (Iceberg table$files analogue)
+          Icelite.load(spark, cfg.tablePath).filesDf()
+            .orderBy("bucket", "path").show(kv.getOrElse("limit", "50").toInt, false)
+        case "snapshots" =>
+          Icelite.load(spark, cfg.tablePath).snapshotsDf()
+            .orderBy("snapshot_id").show(kv.getOrElse("limit", "50").toInt, false)
         case "stream" => Ingest.runStream(spark, cfg, binlog)
         case "shards" =>
           // shard-cursor source (S11 pattern): feedClass=name:class
