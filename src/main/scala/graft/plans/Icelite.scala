@@ -534,7 +534,9 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     history()
       .map(s => (s.snapshotId, s.parentId, s.writerId, s.lastBatchId,
         s.buckets, s.currentSchemaId, s.files.size.toLong,
-        s.files.map(_.rows).sum, s.committedAtMs))
+        // clamp unknown (-1 legacy) per-file counts like every other
+        // consumer, else each legacy file SUBTRACTS one from the total
+        s.files.map(f => math.max(f.rows, 0L)).sum, s.committedAtMs))
       .toDF("snapshot_id", "parent_id", "writer_id", "last_batch_id",
         "buckets", "current_schema_id", "n_files", "n_rows", "committed_at_ms")
   }
@@ -1063,18 +1065,32 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       schemaId: Int): List[DataFileMeta] = {
     // a fully-collapsing write (e.g. dropTombstones over all-tombstone
     // buckets) stages no files at all — nothing to measure or manifest
-    if (stagedPaths(relDir).isEmpty) return Nil
+    val staged = stagedPaths(relDir)
+    if (staged.isEmpty) return Nil
+    val bucketByPath = staged.toMap
     val rootAbs = Paths.get(root).toAbsolutePath.normalize
-    val measured = spark.read.parquet(s"$root/$relDir")
+    // scan exactly the staged file list (reuses the listing above instead
+    // of a second directory walk inside the reader); basePath keeps the
+    // bkt= partition column resolvable from explicit leaf-file paths
+    val measured = spark.read
+      .option("basePath", s"$root/$relDir")
+      .parquet(staged.map { case (rel, _) => s"$root/$rel" }: _*)
       .groupBy(input_file_name().as("_f"), col(BucketCol))
       .agg(count(lit(1)).as("n"), min(col("_seq")).as("lo"),
         max(col("_seq")).as("hi"))
       .collect() // one row per staged file — bounded per commit
     measured.toList.map { r =>
-      val p = Paths.get(new java.net.URI(r.getString(0)).getPath)
-        .toAbsolutePath.normalize
-      DataFileMeta(rootAbs.relativize(p).toString.replace('\\', '/'),
-        r.getInt(1), kind, r.getLong(2), schemaId, r.getLong(3), r.getLong(4))
+      val uri = new java.net.URI(r.getString(0))
+      // the relativize below assumes a local path; a non-file scheme must
+      // fail loudly here, not manifest a silently broken path
+      require(uri.getScheme == null || uri.getScheme == "file",
+        s"listStagedMeasured: non-local data file scheme '${uri.getScheme}' " +
+          s"($uri) — icelite manifests are root-relative local paths")
+      val p = Paths.get(uri.getPath).toAbsolutePath.normalize
+      val rel = rootAbs.relativize(p).toString.replace('\\', '/')
+      DataFileMeta(rel,
+        bucketByPath.getOrElse(rel, r.getInt(1)),
+        kind, r.getLong(2), schemaId, r.getLong(3), r.getLong(4))
     }
   }
 }

@@ -235,8 +235,38 @@ object Changelog {
     * and the partition columns (shard, seg) stay last, matching the
     * footer-merged layout. Atomic replace (tmp + move): widening is
     * monotone, so concurrent readers see either schema and both are safe.
-    * Incompatible changes throw — the binlog contract matches the table's. */
+    * Incompatible changes throw — the binlog contract matches the table's.
+    *
+    * The read-widen-move runs under a cross-process lock on a sibling
+    * `_schema.lock` file (plus a per-path JVM monitor — JDK FileLocks are
+    * per-process): two concurrent [[writeBinlog]] callers each widening
+    * with a DIFFERENT new column would otherwise both read the old
+    * sidecar and the last move wins, silently losing the other writer's
+    * column (a stale-but-parseable sidecar that [[inferBinlogSchema]]
+    * prefers over the footer ground truth). Serialized, widenings
+    * compose: the second writer re-reads the first's result. */
   def writeSchemaSidecar(dir: String, dataSchema: StructType): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val monitor = sidecarMonitors.computeIfAbsent(
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+      _ => new Object)
+    monitor.synchronized {
+      val lockPath = java.nio.file.Paths.get(dir, "_schema.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until any other PROCESS releases
+        try writeSchemaSidecarLocked(dir, dataSchema)
+        finally lock.release()
+      } finally ch.close()
+    }
+  }
+
+  private val sidecarMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def writeSchemaSidecarLocked(dir: String, dataSchema: StructType): Unit = {
     import graft.plans.Icelite.canWiden
     val existing = readSchemaSidecar(dir).getOrElse(StructType(Nil))
     val widened = existing.fields.map { ef =>

@@ -31,9 +31,9 @@ trait ShardFeed extends Serializable {
 }
 
 /** Name → feed registry (string options are all a DSv2 source can carry,
-  * so feeds resolve by name on both driver and executors — in a real
-  * cluster the implementation rides the job's classpath, like any
-  * connector). */
+  * so the DRIVER resolves the feed by name; the resolved instance is then
+  * serialized into each input partition, so executors never consult this
+  * per-JVM map — see [[ShardCursorSource]]). */
 object ShardFeeds {
   private val feeds = new java.util.concurrent.ConcurrentHashMap[String, ShardFeed]()
   def register(name: String, feed: ShardFeed): Unit = feeds.put(name, feed)
@@ -120,9 +120,14 @@ object ShardCursorSource {
     override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
       val s = start.asInstanceOf[ShardOffsets]
       val e = end.asInstanceOf[ShardOffsets]
-      feed.shards.flatMap { sh =>
+      // the feed INSTANCE rides the partition (ShardFeed is Serializable):
+      // the ShardFeeds registry is a per-JVM map populated on the driver,
+      // so resolving by name on an executor would throw on a real cluster
+      // — local-mode-only code masquerading as distributed
+      val f = feed
+      f.shards.flatMap { sh =>
         val (from, until) = (s.cursor(sh), e.cursor(sh))
-        if (until > from) Some(ShardPartition(feedName, sh, from, until): InputPartition)
+        if (until > from) Some(ShardPartition(f, sh, from, until): InputPartition)
         else None
       }.toArray
     }
@@ -131,14 +136,14 @@ object ShardCursorSource {
     override def stop(): Unit = ()
   }
 
-  private case class ShardPartition(feedName: String, shard: Int,
+  private case class ShardPartition(feed: ShardFeed, shard: Int,
       from: Long, until: Long) extends InputPartition
 
   private class ShardReaderFactory(schema: StructType)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val sp = p.asInstanceOf[ShardPartition]
-      val rows = ShardFeeds.get(sp.feedName).read(sp.shard, sp.from, sp.until)
+      val rows = sp.feed.read(sp.shard, sp.from, sp.until)
       val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
       new PartitionReader[InternalRow] {
         private var cur: InternalRow = _

@@ -53,6 +53,28 @@ class BinlogSidecarSpec extends SparkSpec {
     assert(types(Changelog.inferBinlogSchema(spark, dir))("lang") === StringType)
   }
 
+  test("concurrent widenings compose (no last-writer-wins column loss)") {
+    // two writers each widening with a DIFFERENT new column used to race
+    // read-widen-move: both read the old sidecar and the last move won,
+    // silently losing the other's column. The lock serializes them so the
+    // second re-reads the first's result and the union survives.
+    val dir = s"${tmpDir("sidecar-race")}/binlog"
+    Changelog.writeSchemaSidecar(dir, StructType(Seq(
+      StructField("conv_id", StringType), StructField("seq", LongType))))
+    val cols = (0 until 8).map(i => s"extra_$i")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = cols.map { c =>
+      new Thread(() =>
+        try Changelog.writeSchemaSidecar(dir, StructType(Seq(
+          StructField("conv_id", StringType), StructField(c, StringType))))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"widener threw: ${Option(errs.peek())}")
+    val names = Changelog.readSchemaSidecar(dir).get.fieldNames.toSet
+    cols.foreach(c => assert(names.contains(c), s"lost column $c"))
+  }
+
   test("type widening merges; incompatible change throws; empty dir static") {
     val dir = s"${tmpDir("sidecar-types")}/binlog"
     Changelog.writeBinlog(ch(Seq(("I", "c1", 0, "a", 1L)))

@@ -352,6 +352,16 @@ class MaintenanceSpec extends SparkSpec {
     // the physical row count (3 versions: 2 inserts + 1 delta upsert)
     assert(snaps.last.getLong(7) === 3L)
     assert(snaps.last.getLong(6) === snap.files.size.toLong)
+
+    // legacy manifests (rows = -1 = unknown) clamp to 0 in n_rows like
+    // every other consumer — they must not SUBTRACT from the total
+    val vf = java.nio.file.Paths.get(cfg.tablePath, "_icelite",
+      f"v${snap.snapshotId}%010d.json")
+    java.nio.file.Files.writeString(vf, java.nio.file.Files.readString(vf)
+      .replaceAll(""""rows":\d+""", """"rows":-1"""))
+    val legacyRows = Icelite.load(spark, cfg.tablePath).snapshotsDf()
+      .orderBy("snapshot_id").collect().last.getLong(7)
+    assert(legacyRows === 0L)
   }
 
   test("readAt time-travels: old snapshot unchanged by later upserts/deletes") {
