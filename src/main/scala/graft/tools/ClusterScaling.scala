@@ -27,12 +27,23 @@ import graft.Bench
   */
 object ClusterScaling {
 
+  /** A measured scaling efficiency above this is physically impossible
+    * (4× the executors cannot beat 4× the throughput on the same input;
+    * a small grace covers measurement jitter) — it means a steal storm
+    * degraded the LOW leg's window. Such samples are recorded in full but
+    * flagged invalid and NEVER headline (round-3 verdict: a 1.083
+    * super-linear artifact must not be reported as PASS evidence). */
+  val MaxPlausibleEfficiency = 1.02
+
   /** `thrLow/thrHigh` = best per-batch (steady-state) throughput (the
     * `statistic: best_batch` fields); `runThrLow/runThrHigh` = whole-run
-    * totals (events / best run wall). The HEADLINE `efficiency` key is the
-    * strict run-total ratio — the best-batch ratio (per-level maxima over
-    * non-contemporaneous windows, optimistic by construction) is reported
-    * under its own `best_batch_efficiency` key, never as the headline. */
+    * totals (events / best run wall). A single sample carries its own
+    * strict `run_efficiency` and a `valid` storm flag; the HEADLINE
+    * `efficiency` key exists only on the aggregated output
+    * ([[appendAndAggregate]]) = median of VALID history samples, clamped
+    * to 1.0 — never a single window's ratio. The best-batch ratio
+    * (per-level maxima over non-contemporaneous windows, optimistic by
+    * construction) reports under `best_batch_efficiency` only. */
   final case class Result(events: Long, coresPerExec: Int, execsLow: Int,
       execsHigh: Int, thrLow: Double, thrHigh: Double,
       runThrLow: Double, runThrHigh: Double,
@@ -41,18 +52,35 @@ object ClusterScaling {
       (thrHigh / thrLow) / (execsHigh.toDouble / execsLow)
     def runEfficiency: Double =
       (runThrHigh / runThrLow) / (execsHigh.toDouble / execsLow)
-    /** Headline = the strict statistic. */
-    def efficiency: Double = runEfficiency
-    /** Inner JSON object (no outer key). */
+    /** Storm check: a super-linear run-total ratio is impossible, so the
+      * sample's low leg was degraded — keep the data, flag the sample. */
+    def valid: Boolean = runEfficiency > 0 && runEfficiency <= MaxPlausibleEfficiency
+    /** Inner JSON object (no outer key; no headline `efficiency` — that
+      * is an aggregate-only statistic, see [[appendAndAggregate]]). */
     def json: String =
       f"""{"mode":"local-cluster","statistic":"best_batch","ts_ms":$tsMs,""" +
         f""""events":$events,""" +
         f""""cores_per_executor":$coresPerExec,"executors_low":$execsLow,""" +
         f""""executors_high":$execsHigh,"thr_low":$thrLow%.0f,""" +
-        f""""thr_high":$thrHigh%.0f,"efficiency":$runEfficiency%.3f,""" +
+        f""""thr_high":$thrHigh%.0f,"valid":$valid,""" +
         f""""best_batch_efficiency":$bestBatchEfficiency%.3f,""" +
         f""""run_thr_low":$runThrLow%.0f,"run_thr_high":$runThrHigh%.0f,""" +
         f""""run_efficiency":$runEfficiency%.3f}"""
+  }
+
+  /** Parse the headline `efficiency` key out of an
+    * [[appendAndAggregate]] result (for gates/prints). */
+  def headlineEfficiency(json: String): Option[Double] = {
+    import org.json4s._
+    implicit val fmts: DefaultFormats = DefaultFormats
+    scala.util.Try(org.json4s.jackson.JsonMethods.parse(json) \ "efficiency")
+      .toOption.flatMap(_.extractOpt[Double])
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   /** History JSONL location: explicit env override, else next to the
@@ -68,17 +96,26 @@ object ClusterScaling {
     }
 
   /** Append this run to the measurement history (JSONL) and return the
-    * run's JSON extended with an `aggregate` over all history runs of the
-    * SAME configuration (events, cores, executor levels, AND the
-    * `best_batch` statistic — rows measuring a different statistic never
-    * mix in): per-level MAX best-batch throughput and the efficiency of
-    * those maxima, labeled `best_of_history_efficiency`. That ratio is an
+    * run's JSON extended with the HEADLINE and an `aggregate` over all
+    * history runs of the SAME configuration (events, cores, executor
+    * levels, AND the `best_batch` statistic — rows measuring a different
+    * statistic never mix in).
+    *
+    * Headline `efficiency` = median of the VALID samples' strict
+    * run-total efficiencies, clamped to 1.0 — a storm-degraded window
+    * (super-linear sample, [[MaxPlausibleEfficiency]]) is retained in the
+    * history but can never headline, and by construction the headline
+    * never reports impossible super-linear scaling. Legacy history lines
+    * without a `valid` flag are classified by the same rule from their
+    * recorded `run_efficiency`.
+    *
+    * The aggregate also carries per-level MAX best-batch throughput and
+    * the efficiency of those maxima (`best_of_history_efficiency`) — an
     * UPPER-BOUND estimate (maxima taken independently per level, across
-    * windows) — audit material for this VM's multi-minute steal storms,
-    * not a headline; sample count and timestamp range are included so it
-    * is auditable. Every sample is retained in the history file. History
-    * IO failures degrade gracefully: the run's own JSON is returned
-    * without an aggregate. */
+    * windows), audit material for this VM's multi-minute steal storms,
+    * never a headline. Every sample is retained in the history file.
+    * History IO failures degrade gracefully: the run's own JSON is
+    * returned without headline or aggregate. */
   def appendAndAggregate(r: Result,
       histPath: String = defaultHistoryPath): String = scala.util.Try {
     val p = java.nio.file.Paths.get(histPath)
@@ -104,17 +141,30 @@ object ClusterScaling {
         for {
           lo <- (j \ "thr_low").extractOpt[Double]
           hi <- (j \ "thr_high").extractOpt[Double]
-        } yield (lo, hi, (j \ "ts_ms").extractOpt[Long].getOrElse(0L))
+          runEff <- (j \ "run_efficiency").extractOpt[Double]
+        } yield {
+          val valid = (j \ "valid").extractOpt[Boolean]
+            .getOrElse(runEff > 0 && runEff <= MaxPlausibleEfficiency)
+          (lo, hi, runEff, valid, (j \ "ts_ms").extractOpt[Long].getOrElse(0L))
+        }
       }.toSeq
     require(samples.nonEmpty,
       s"no parseable best_batch samples for this config in $histPath " +
         "(format drift? the line just appended should always match)")
+    val validEffs = samples.filter(_._4).map(_._3)
     val loMax = samples.map(_._1).max
     val hiMax = samples.map(_._2).max
     val aggEff = (hiMax / loMax) / (r.execsHigh.toDouble / r.execsLow)
-    val tss = samples.map(_._3).filter(_ > 0)
-    r.json.stripSuffix("}") +
-      f""","aggregate":{"runs":${samples.size},""" +
+    val tss = samples.map(_._5).filter(_ > 0)
+    val headline =
+      if (validEffs.isEmpty) """"efficiency":null,"""
+      else f""""efficiency":${math.min(1.0, median(validEffs))}%.3f,"""
+    r.json.stripSuffix("}") + "," +
+      headline +
+      """"efficiency_statistic":"median_valid_run_total",""" +
+      f""""aggregate":{"runs":${samples.size},""" +
+      f""""valid_runs":${validEffs.size},""" +
+      f""""invalid_runs":${samples.size - validEffs.size},""" +
       (if (tss.nonEmpty) s""""ts_ms_first":${tss.min},"ts_ms_last":${tss.max},"""
        else "") +
       f""""thr_low_best":$loMax%.0f,"thr_high_best":$hiMax%.0f,""" +
@@ -254,10 +304,11 @@ object ClusterScaling {
 
 /** Standalone CLI for [[ClusterScaling.measure]]; also writes the result
   * to `BENCH_cluster.json` (env `SPARK_GRAFT_CLUSTER_BENCH_OUT`).
-  * GATES on the STRICT statistic — run-total efficiency ≥ 0.8 (the north
-  * rule's bar) — printing PASS/FAIL and exiting nonzero on FAIL, so the
-  * strict number cannot silently erode behind the optimistic best-batch
-  * one. */
+  * GATES on the HEADLINE statistic — median of valid strict run-total
+  * efficiencies across the retained history ≥ 0.8 (the north rule's bar)
+  * — printing PASS/FAIL and exiting nonzero on FAIL. A storm-invalidated
+  * sample (super-linear ratio) can neither pass NOR fail the gate by
+  * itself: it is recorded, flagged, and the valid-history median decides. */
 object ClusterScalingBench {
   def main(args: Array[String]): Unit = {
     val events = if (args.length > 0) args(0).toLong else 40000000L
@@ -267,8 +318,10 @@ object ClusterScalingBench {
     val r = ClusterScaling.measure(events, execsLow, execsHigh, cores)
     println(f"[cluster-scaling] ${r.execsLow} execs: ${r.runThrLow}%.0f ev/s; " +
       f"${r.execsHigh} execs: ${r.runThrHigh}%.0f ev/s (run-total); " +
-      f"best-batch ${r.thrLow}%.0f -> ${r.thrHigh}%.0f ev/s")
-    val json = s"""{"cluster_scaling":${ClusterScaling.appendAndAggregate(r)}}"""
+      f"best-batch ${r.thrLow}%.0f -> ${r.thrHigh}%.0f ev/s; " +
+      f"sample run_efficiency=${r.runEfficiency}%.3f valid=${r.valid}")
+    val inner = ClusterScaling.appendAndAggregate(r)
+    val json = s"""{"cluster_scaling":$inner}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_BENCH_OUT",
       "BENCH_cluster.json")
@@ -280,9 +333,17 @@ object ClusterScalingBench {
     }.recover { case e =>
       System.err.println(s"[cluster-scaling] could not write $out: ${e.getMessage}")
     }
-    val pass = r.runEfficiency >= 0.8
-    println(f"[cluster-scaling] GATE run_efficiency=${r.runEfficiency}%.3f " +
-      f"(strict run-total; best_batch_efficiency=${r.bestBatchEfficiency}%.3f) " +
+    // gate on the headline (median of valid history samples); if history
+    // was unavailable, fall back to this sample's own strict ratio — but
+    // only when the sample is storm-free
+    val headline = ClusterScaling.headlineEfficiency(inner)
+      .orElse(if (r.valid) Some(r.runEfficiency) else None)
+    val pass = headline.exists(_ >= 0.8)
+    println(f"[cluster-scaling] GATE efficiency=" +
+      headline.map(h => f"$h%.3f").getOrElse("n/a (no valid samples)") +
+      f" (median of valid run-total history; this sample " +
+      f"run_efficiency=${r.runEfficiency}%.3f valid=${r.valid}, " +
+      f"best_batch_efficiency=${r.bestBatchEfficiency}%.3f) " +
       s"=> ${if (pass) "PASS" else "FAIL"} (target >= 0.8)")
     if (!pass) sys.exit(1)
   }
