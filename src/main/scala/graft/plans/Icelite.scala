@@ -1,6 +1,6 @@
 package graft.plans
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 import scala.util.Try
 
@@ -263,10 +263,13 @@ object Icelite {
     snap
   }
 
-  /** Atomic commit: write tmp, hard-link to the final name (fails if the
-    * version already exists — optimistic concurrency), drop tmp. The link
-    * creation is the single atomic step; data files written before it are
-    * invisible orphans if we crash first (crash-safe).
+  /** Atomic commit: stage the side manifest (if any), then publish the
+    * version JSON through the [[CommitStore]] seam — one atomic exclusive
+    * create (fails if the version already exists — optimistic
+    * concurrency). Data/manifest files written before it are invisible
+    * orphans if we crash first (crash-safe). The store is pluggable per
+    * storage system (local hard link / HDFS exclusive create / user CAS
+    * impl) — see [[CommitStore]].
     */
   private[plans] def writeSnapshot(root: String, snapIn: SnapshotMeta): Unit = {
     // spill a large file list to a gzipped side manifest BEFORE the atomic
@@ -284,26 +287,12 @@ object Icelite {
         snapIn.copy(files = Nil, manifestRef = Some(rel))
       }
     val target = versionFile(root, snap.snapshotId)
-    val tmp = Paths.get(root, "_icelite",
-      s".tmp-${snap.snapshotId}-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, Serialization.write(snap).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    try {
-      try Files.createLink(target, tmp)
-      catch {
-        case _: UnsupportedOperationException =>
-          // fs without hard links: ATOMIC_MOVE would silently REPLACE an
-          // existing target (POSIX rename), losing the conflict check —
-          // pre-check existence to keep the single-writer contract (a
-          // race window remains on such filesystems; documented)
-          if (Files.exists(target))
-            throw new CommitConflictException(
-              s"commit conflict: snapshot ${snap.snapshotId} already exists at $root")
-          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-        case e: java.nio.file.FileAlreadyExistsException =>
-          throw new CommitConflictException(
-            s"commit conflict: snapshot ${snap.snapshotId} already exists at $root", e)
-      }
-    } finally Files.deleteIfExists(tmp)
+    try CommitStore.forRoot(root).publishAtomic(target.toUri,
+      Serialization.write(snap).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: CommitConflictException =>
+      throw new CommitConflictException(
+        s"commit conflict: snapshot ${snap.snapshotId} already exists at $root", e)
+    }
   }
 
   // ---------------------------------------------------------------- schema
