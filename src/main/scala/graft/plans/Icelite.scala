@@ -887,20 +887,40 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     * it may be the staged output of an in-flight writer that has not yet
     * committed its snapshot (the same age threshold Iceberg's
     * remove_orphan_files applies). Pass 0 only when no writer can be
-    * active. Returns (snapshots expired, data files deleted). */
-  def expireSnapshots(keepLast: Int, orphanGraceMs: Long = 3600000L): (Int, Int) = {
+    * active. Returns (snapshots expired, data files deleted).
+    *
+    * Default mode is TARGETED: candidates come from diffing the dropped
+    * snapshots' own manifests against the kept set — O(dropped manifest
+    * entries) driver work, no filesystem tree walk, so routine retention
+    * on a 10^6-file table stays flat. Files a dropped snapshot never
+    * referenced (a crashed writer's staged output that no commit ever
+    * adopted) are invisible to the diff; pass `deepGc = true` for the
+    * full `data/` tree walk that sweeps those too (Iceberg's
+    * remove_orphan_files analogue — a rare, scheduled deep clean, not
+    * the per-retention path). */
+  def expireSnapshots(keepLast: Int, orphanGraceMs: Long = 3600000L,
+      deepGc: Boolean = false): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val versions = listVersions(root)
     val (drop, keep) = versions.splitAt(math.max(versions.size - keepLast, 0))
     val kept = keep.map(v => readSnapshot(root, v))
     val referenced: Set[String] = kept.flatMap(_.files.map(_.path)).toSet
     val referencedManifests: Set[String] = kept.flatMap(_.manifestRef).toSet
+    // read the dropped snapshots' manifests BEFORE deleting their version
+    // files — they name exactly the data files that can have just become
+    // unreferenced (the targeted candidate set)
+    val droppedRefs: Seq[String] =
+      if (deepGc) Nil
+      else drop.flatMap(v => Try(readSnapshot(root, v)).toOption)
+        .flatMap(_.files.map(_.path)).distinct
     drop.foreach(v => Files.deleteIfExists(versionFile(root, v)))
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     var deleted = 0
     // side manifests of dropped snapshots (and of commit attempts that
     // lost their race) are unreferenced now — same age-guarded sweep as
-    // data files, so an in-flight writer's staged manifest survives
+    // data files, so an in-flight writer's staged manifest survives. The
+    // `_icelite/` listing is O(snapshots + manifests), flat at any data
+    // scale, so it runs in both modes.
     val metaDir = Paths.get(root, "_icelite")
     val metaLs = Files.list(metaDir)
     try metaLs.iterator().asScala.toSeq.foreach { p =>
@@ -912,7 +932,7 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       }
     } finally metaLs.close()
     val dataDir = Paths.get(root, "data")
-    if (Files.isDirectory(dataDir)) {
+    if (deepGc && Files.isDirectory(dataDir)) {
       val walk = Files.walk(dataDir)
       try walk.iterator().asScala.toSeq.reverse.foreach { p =>
         val relPath = Paths.get(root).relativize(p).toString
@@ -926,6 +946,20 @@ class IceliteTable(val spark: SparkSession, val root: String) {
           if (empty) Files.delete(p)
         }
       } finally walk.close()
+    } else if (!deepGc) {
+      droppedRefs.filterNot(referenced.contains).foreach { rel =>
+        val p = Paths.get(root, rel)
+        if (Files.isRegularFile(p) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff) {
+          Files.delete(p); deleted += 1
+          // prune now-empty parent dirs up to (not including) data/
+          var d = p.getParent
+          while (d != null && d != dataDir && Files.isDirectory(d) && {
+            val ls = Files.list(d)
+            try !ls.iterator().hasNext finally ls.close()
+          }) { Files.delete(d); d = d.getParent }
+        }
+      }
     }
     (drop.size, deleted)
   }

@@ -106,22 +106,42 @@ object Ingest {
     * its seq range, plus rows/s — the reference's per-channel speed report
     * (`TaskGroupContainer.java:253-266`) as a queryable table.
     */
+  /** Batches per `_lineage/` bucket directory: one file per batch lands in
+    * `r=<batchId rounded down to this span>/`, so a long ProcessingTime
+    * tail at small triggers (10^5+ batches) never piles every file into
+    * one directory listing — and [[rollupLineage]] periodically folds
+    * whole spans into parquet. */
+  private[streaming] val LineageSpan = 10000L
+
   private def lineageFile(cfg: Config, batchId: Long, snapshotId: Long) =
     java.nio.file.Paths.get(cfg.tablePath, "_lineage",
+      s"r=${batchId / LineageSpan * LineageSpan}",
       f"batch-$batchId%09d-$snapshotId%09d.jsonl")
+
+  /** Pre-bucketing layout — probed so a checkpoint replay of the last
+    * batch against a table written before the `r=` subdirs does not
+    * double-write its lineage row. */
+  private def legacyLineageFile(cfg: Config, batchId: Long, snapshotId: Long) =
+    java.nio.file.Paths.get(cfg.tablePath, "_lineage",
+      f"batch-$batchId%09d-$snapshotId%09d.jsonl")
+
+  private[streaming] def lineageWritten(cfg: Config, batchId: Long,
+      snapshotId: Long): Boolean =
+    java.nio.file.Files.exists(lineageFile(cfg, batchId, snapshotId)) ||
+      java.nio.file.Files.exists(legacyLineageFile(cfg, batchId, snapshotId))
 
   private def writeLineage(cfg: Config, rows: Seq[LineageRow], batchId: Long,
       snapshotId: Long): Unit = {
     // driver-side JSONL: lineage is a handful of rows per batch, and a
     // Spark parquet job just to persist them costs a whole fixed-overhead
     // job per micro-batch (visible in scaling runs)
-    val dir = java.nio.file.Paths.get(cfg.tablePath, "_lineage")
-    java.nio.file.Files.createDirectories(dir)
+    val f = lineageFile(cfg, batchId, snapshotId)
+    java.nio.file.Files.createDirectories(f.getParent)
     val json = rows.map(r =>
       s"""{"batch_id":${r.batch_id},"shard":${r.shard},"rows":${r.rows},""" +
       s""""start_seq":${r.start_seq},"end_seq":${r.end_seq},""" +
       s""""snapshot_id":${r.snapshot_id},"wall_ms":${r.wall_ms}}""").mkString("", "\n", "\n")
-    java.nio.file.Files.writeString(lineageFile(cfg, batchId, snapshotId), json)
+    java.nio.file.Files.writeString(f, json)
   }
 
   def applyBatch(spark: SparkSession, cfg: Config, batchIn: DataFrame, batchId: Long): Icelite.MergeStats = {
@@ -140,7 +160,7 @@ object Ingest {
       val snap = Icelite.load(spark, cfg.tablePath).snapshot()
       if (cfg.writerId == snap.writerId && batchId <= snap.lastBatchId) {
         if (batchId == snap.lastBatchId &&
-            !java.nio.file.Files.exists(lineageFile(cfg, batchId, snap.snapshotId))) {
+            !lineageWritten(cfg, batchId, snap.snapshotId)) {
           val n = batchIn.count()
           writeLineage(cfg, Seq(LineageRow(batchId, -1, n, -1L, -1L,
             snap.snapshotId, 0L)), batchId, snap.snapshotId)
@@ -243,12 +263,72 @@ object Ingest {
   case class LineageRow(batch_id: Long, shard: Int, rows: Long,
       start_seq: Long, end_seq: Long, snapshot_id: Long, wall_ms: Long)
 
-  /** Read the lineage/metrics table. */
-  def lineage(spark: SparkSession, cfg: Config): DataFrame =
-    spark.read.schema(
-      "batch_id LONG, shard INT, rows LONG, start_seq LONG, end_seq LONG, " +
-        "snapshot_id LONG, wall_ms LONG")
+  private val lineageDdl =
+    "batch_id LONG, shard INT, rows LONG, start_seq LONG, end_seq LONG, " +
+      "snapshot_id LONG, wall_ms LONG"
+
+  /** Read the lineage/metrics table: live per-batch JSONL (current `r=`
+    * buckets and the legacy flat layout — recursive lookup covers both)
+    * unioned with any parquet roll-ups ([[rollupLineage]]). */
+  def lineage(spark: SparkSession, cfg: Config): DataFrame = {
+    val live = spark.read.schema(lineageDdl)
+      .option("recursiveFileLookup", "true")
       .json(s"${cfg.tablePath}/_lineage")
+    val rollDir = java.nio.file.Paths.get(cfg.tablePath, "_lineage_rollup")
+    if (java.nio.file.Files.isDirectory(rollDir))
+      spark.read.schema(lineageDdl).parquet(rollDir.toString).unionByName(live)
+    else live
+  }
+
+  /** Maintenance: fold accumulated per-batch lineage JSONL into parquet —
+    * the unbounded-file-growth fix for long ProcessingTime tails (one
+    * JSONL per trigger). Rolls every batch file EXCEPT the newest batch's
+    * (the idempotence backfill probe checks for its existence on
+    * checkpoint replay) and any already covered by a previous roll (crash
+    * between the parquet append and the JSONL delete leaves known
+    * duplicates, removed without re-rolling). [[lineage]] reads roll-up +
+    * live transparently; a read racing an in-flight roll can transiently
+    * see a rolling batch twice — schedule rolls like compaction, not
+    * against live readers. Returns the number of files rolled. */
+  def rollupLineage(spark: SparkSession, cfg: Config): Int = {
+    val dir = java.nio.file.Paths.get(cfg.tablePath, "_lineage")
+    if (!java.nio.file.Files.isDirectory(dir)) return 0
+    val walk = java.nio.file.Files.walk(dir)
+    val files = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        java.nio.file.Files.isRegularFile(p) &&
+          n.startsWith("batch-") && n.endsWith(".jsonl")
+      }.toList
+    } finally walk.close()
+    def batchOf(p: java.nio.file.Path): Long =
+      p.getFileName.toString.stripPrefix("batch-").takeWhile(_.isDigit).toLong
+    if (files.isEmpty) return 0
+    val maxBatch = files.map(batchOf).max
+    val rollDir = java.nio.file.Paths.get(cfg.tablePath, "_lineage_rollup")
+    val rolledMax: Long =
+      if (java.nio.file.Files.isDirectory(rollDir))
+        spark.read.schema(lineageDdl).parquet(rollDir.toString)
+          .agg(coalesce(max(col("batch_id")), lit(-1L))).head().getLong(0)
+      else -1L
+    val (stale, fresh) = files.partition(p => batchOf(p) <= rolledMax)
+    val roll = fresh.filter(p => batchOf(p) < maxBatch)
+    if (roll.nonEmpty) {
+      spark.read.schema(lineageDdl).json(roll.map(_.toString): _*)
+        .coalesce(1).write.mode("append").parquet(rollDir.toString)
+    }
+    (stale ++ roll).foreach { p =>
+      java.nio.file.Files.delete(p)
+      val parent = p.getParent
+      if (parent != dir && java.nio.file.Files.isDirectory(parent)) {
+        val ls = java.nio.file.Files.list(parent)
+        val empty = try !ls.iterator().hasNext finally ls.close()
+        if (empty) java.nio.file.Files.delete(parent)
+      }
+    }
+    roll.size
+  }
 
   /** Pre-flight validation without moving data — the reference's dryRun /
     * preCheck path (`core/.../job/JobContainer.java:184-213`: validate

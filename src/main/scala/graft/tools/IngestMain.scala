@@ -20,11 +20,13 @@ import graft.streaming.Ingest
   *   ingest from a registered shard-cursor feed
   *   ([[graft.sources.ShardCursorSource]], the DataHub/OTS pattern)
   *   instead of a binlog dir
-  *   mode=compact|rebucket|expire — table maintenance without an ingest
-  *   run (the Iceberg procedure analogues): compact folds delta files,
-  *   rebucket newBuckets=<n> re-spreads a table that outgrew its bucket
-  *   layout, expire keepLast=<n> (default 5) drops old snapshots + GCs
-  *   orphan files
+  *   mode=compact|rebucket|expire|lineage-rollup — table maintenance
+  *   without an ingest run (the Iceberg procedure analogues): compact
+  *   folds delta files, rebucket newBuckets=<n> re-spreads a table that
+  *   outgrew its bucket layout, expire keepLast=<n> (default 5) drops old
+  *   snapshots + GCs their files via manifest diff (deepGc=true adds the
+  *   full tree walk that also sweeps never-committed staged orphans),
+  *   lineage-rollup folds per-batch lineage JSONL into parquet
   *   mode=files|snapshots [limit=<n>] — print the metadata tables
   *   ([[graft.plans.IceliteTable.filesDf]]/`snapshotsDf`): per-file
   *   bucket/kind/rows/seq-range, per-snapshot commit metadata
@@ -88,7 +90,7 @@ object IngestMain {
   }
 
   private val MaintenanceModes = Set("compact", "rebucket", "expire",
-    "files", "snapshots")
+    "lineage-rollup", "files", "snapshots")
   /** modes that read no binlog dir (maintenance + non-binlog sources) */
   private val NoBinlogModes = MaintenanceModes + "shards"
 
@@ -128,8 +130,12 @@ object IngestMain {
                 "mode=rebucket needs newBuckets=<n>")).toInt, cfg.opts)
         case "expire" =>
           val (snaps, files) = Icelite.load(spark, cfg.tablePath)
-            .expireSnapshots(kv.getOrElse("keepLast", "5").toInt)
+            .expireSnapshots(kv.getOrElse("keepLast", "5").toInt,
+              deepGc = kv.getOrElse("deepGc", "false").toBoolean)
           println(s"[ingest] expired $snaps snapshots, deleted $files orphan files")
+        case "lineage-rollup" =>
+          val rolled = Ingest.rollupLineage(spark, cfg)
+          println(s"[ingest] rolled $rolled lineage files into parquet")
         case "files" => // metadata inspection (Iceberg table$files analogue)
           Icelite.load(spark, cfg.tablePath).filesDf()
             .orderBy("bucket", "path").show(kv.getOrElse("limit", "50").toInt, false)

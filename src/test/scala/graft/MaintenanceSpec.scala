@@ -171,7 +171,9 @@ class MaintenanceSpec extends SparkSpec {
     var expired: Option[(Int, Int)] = None
     table.beforeCommit = () => if (expired.isEmpty) {
       expired = Some(Icelite.load(spark, cfg.tablePath)
-        .expireSnapshots(keepLast = 2, orphanGraceMs = 3600000L))
+        .expireSnapshots(keepLast = 2, orphanGraceMs = 3600000L,
+          deepGc = true)) // the stale orphan was never committed — only
+                          // the deep walk can see it
     }
     try {
       val stats = table.merge(batchOf(ev("I", "c3", 0, "x", 4, 4)),
@@ -290,10 +292,56 @@ class MaintenanceSpec extends SparkSpec {
     // the orphan generation), and snapshot expiry deletes the orphan file
     val st = Ingest.applyBatch(spark, cfg, batchOf(ev("I", "c3", 0, "c", 3, 3)), 1L)
     assert(st.snapshotId === sid + 1)
-    val (_, deleted) = table.expireSnapshots(keepLast = 1, orphanGraceMs = 0)
+    // never-committed staged output is invisible to the targeted
+    // manifest-diff — the deep tree walk is the mode that sweeps it
+    val (_, deletedTargeted) = table.expireSnapshots(keepLast = 1, orphanGraceMs = 0)
+    assert(java.nio.file.Files.exists(orphanDir.resolve("part-orphan.parquet")),
+      s"targeted expiry must not walk the tree (deleted $deletedTargeted)")
+    val (_, deleted) = table.expireSnapshots(keepLast = 1, orphanGraceMs = 0,
+      deepGc = true)
     assert(deleted >= 1)
     assert(!java.nio.file.Files.exists(orphanDir.resolve("part-orphan.parquet")))
     assert(table.read().count() === 3)
+  }
+
+  test("lineage roll-up: JSONL folds to parquet; lineage() identical across the roll") {
+    val root = tmpDir("linroll")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2)
+    (0 until 5).foreach(b => Ingest.applyBatch(spark, cfg,
+      batchOf(ev("I", s"c$b", 0, s"t$b", b + 1, b + 1)), b.toLong))
+    val before = Ingest.lineage(spark, cfg).orderBy("batch_id", "shard").collect()
+    assert(before.length === 5)
+    def liveFiles() = {
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(root, "t", "_lineage"))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".jsonl")).size
+      } finally walk.close()
+    }
+    assert(liveFiles() === 5)
+    // everything but the newest batch's file rolls (that one is the
+    // checkpoint-replay idempotence probe)
+    assert(Ingest.rollupLineage(spark, cfg) === 4)
+    assert(liveFiles() === 1)
+    val after = Ingest.lineage(spark, cfg).orderBy("batch_id", "shard").collect()
+    assert(after.toSeq === before.toSeq)
+    // immediate re-roll is a no-op
+    assert(Ingest.rollupLineage(spark, cfg) === 0)
+    // new batches keep accruing and a later roll keeps the union intact
+    (5 until 8).foreach(b => Ingest.applyBatch(spark, cfg,
+      batchOf(ev("I", s"c$b", 0, s"t$b", b + 1, b + 1)), b.toLong))
+    assert(Ingest.rollupLineage(spark, cfg) === 3) // batches 4,5,6 (7 stays live)
+    val full = Ingest.lineage(spark, cfg).orderBy("batch_id", "shard").collect()
+    assert(full.length === 8)
+    assert(full.take(5).toSeq === before.toSeq)
+    // a checkpoint replay of the LAST batch after the roll does not
+    // double-write lineage (the probe still sees its live file)
+    val st = Ingest.applyBatch(spark, cfg,
+      batchOf(ev("I", "c7", 0, "t7", 8, 8)), 7L)
+    assert(st.skipped)
+    assert(Ingest.lineage(spark, cfg).count() === 8)
   }
 
   test("history lists snapshots; changesSince returns only newer row versions") {
