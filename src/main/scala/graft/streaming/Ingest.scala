@@ -392,35 +392,76 @@ object Ingest {
     * optionally bounded by `stopAfterMs` (graceful stop + drain; without
     * it the call blocks until the query is stopped externally or fails).
     * Either way the checkpoint makes the job resumable exactly-once.
+    *
+    * Schema evolution is self-enforcing: a [[SchemaSentinel]] watches the
+    * binlog's `_schema.json` sidecar and gracefully stops the query when
+    * it widens; this loop then restarts the tail with the wider schema
+    * (re-inferred from the sidecar) and keeps going — so a column added
+    * mid-tail reaches the table without operator intervention. Because
+    * [[Changelog.writeBinlog]] widens the sidecar BEFORE the data lands,
+    * the stop normally precedes any narrow consumption of the widened
+    * segments; the post-run warning remains the contract for foreign
+    * (sidecar-less) binlogs, where the sentinel has nothing to probe.
     */
   def runStream(spark: SparkSession, cfg: Config, binlogDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      stopAfterMs: Option[Long] = None): Unit =
-    runStreamSource(spark, cfg,
-      Changelog.binlogStream(spark, binlogDir, cfg.maxFilesPerTrigger),
-      trigger, stopAfterMs,
-      // evolution blind spot check: a streaming query's schema is fixed,
-      // so segments written WIDER while this run consumed them lost their
-      // new columns' values — surface it loudly instead of silently
-      postRunCheck = Some { runSchema =>
-        val widerNow = Changelog.inferBinlogSchema(spark, binlogDir)
-          .fieldNames.diff(runSchema.fieldNames)
-        if (widerNow.nonEmpty)
-          System.err.println("[ingest] WARNING: binlog now carries columns " +
-            s"(${widerNow.mkString(", ")}) absent from this run's schema; any " +
-            "segments with them consumed DURING this run lost those values — " +
-            "restart ingests remaining segments with the wider schema")
-      })
+      stopAfterMs: Option[Long] = None): Unit = {
+    cfg.preHook.foreach(_(spark))
+    val deadline = stopAfterMs.map(System.currentTimeMillis() + _)
+    var lastSchema = org.apache.spark.sql.types.StructType(Nil)
+    var widened: Seq[String] = Nil
+    var first = true
+    while (first ||
+        (widened.nonEmpty && deadline.forall(_ > System.currentTimeMillis()))) {
+      if (!first)
+        System.err.println("[ingest] schema sentinel: binlog widened " +
+          s"(${widened.mkString(", ")}); restarting the tail with the wider schema")
+      first = false
+      val src = Changelog.binlogStream(spark, binlogDir, cfg.maxFilesPerTrigger)
+      lastSchema = src.schema
+      widened = runLeg(spark, cfg, src, trigger,
+        deadline.map(d => math.max(0L, d - System.currentTimeMillis())),
+        sentinelProbe = Some(() => Changelog.readSchemaSidecar(binlogDir)))
+    }
+    // evolution blind spot check: reachable only for a sidecar-less
+    // (foreign) binlog widened mid-run, or a widening that landed after
+    // the deadline cut the restart loop — surface it loudly, not silently
+    val widerNow = Changelog.inferBinlogSchema(spark, binlogDir)
+      .fieldNames.diff(lastSchema.fieldNames)
+    if (widerNow.nonEmpty)
+      System.err.println("[ingest] WARNING: binlog now carries columns " +
+        s"(${widerNow.mkString(", ")}) absent from this run's schema; any " +
+        "segments with them consumed DURING this run lost those values — " +
+        "restart ingests remaining segments with the wider schema")
+    cfg.postHook.foreach(_(spark))
+  }
 
   /** [[runStream]] over ANY streaming change-event source (the binlog
     * tail, a [[graft.sources.ShardCursorSource]] feed, a Kafka topic
     * where the connector exists) — the checkpoint/idempotent-commit/
-    * watchdog/hook machinery is source-agnostic. */
+    * watchdog/hook machinery is source-agnostic. No schema sentinel here:
+    * a generic source has no sidecar to probe (the binlog path gets one
+    * via [[runStream]]). */
   def runStreamSource(spark: SparkSession, cfg: Config, src: DataFrame,
       trigger: Trigger = Trigger.AvailableNow(),
       stopAfterMs: Option[Long] = None,
       postRunCheck: Option[org.apache.spark.sql.types.StructType => Unit] = None): Unit = {
     cfg.preHook.foreach(_(spark))
+    val runSchema = src.schema
+    runLeg(spark, cfg, src, trigger, stopAfterMs, sentinelProbe = None)
+    postRunCheck.foreach(_(runSchema))
+    cfg.postHook.foreach(_(spark))
+  }
+
+  /** One streaming leg: start → (watchdog, sentinel) → await → stop.
+    * Returns the sentinel's widened-column list — non-empty means the
+    * query was stopped for a schema restart and the caller should run
+    * another leg with a re-inferred (wider) source schema. Hooks run in
+    * the callers, ONCE around the whole loop (a pre/post SQL — e.g. a
+    * truncate — must not re-fire on a sentinel restart). */
+  private def runLeg(spark: SparkSession, cfg: Config, src: DataFrame,
+      trigger: Trigger, stopAfterMs: Option[Long],
+      sentinelProbe: Option[() => Option[org.apache.spark.sql.types.StructType]]): Seq[String] = {
     val name = s"graft-ingest-${cfg.writerId}"
     // see Config.cacheBatch: accurate numInputRows needs one source scan
     val eff = if (cfg.metricsDir.isDefined) cfg.copy(cacheBatch = true) else cfg
@@ -429,7 +470,6 @@ object Ingest {
       spark.streams.addListener(s); s
     }
     try {
-      val runSchema = src.schema
       val q = src.writeStream
         .queryName(name)
         .option("checkpointLocation", cfg.checkpointDir)
@@ -439,6 +479,7 @@ object Ingest {
         }
         .start()
       val dog = cfg.stallTimeoutMs.map(ms => new Watchdog(q, ms))
+      val sentinel = sentinelProbe.map(p => new SchemaSentinel(q, src.schema, p))
       try {
         stopAfterMs match {
           case Some(ms) =>
@@ -447,13 +488,12 @@ object Ingest {
             q.awaitTermination()
           case None => q.awaitTermination()
         }
-      } finally dog.foreach(_.close())
+      } finally { dog.foreach(_.close()); sentinel.foreach(_.close()) }
       if (dog.exists(_.stalled))
         throw new IllegalStateException(
           s"ingest stalled: a trigger made no progress for ${cfg.stallTimeoutMs.get} ms " +
             "(watchdog stopped the query; restart resumes from the checkpoint)")
-      postRunCheck.foreach(_(runSchema))
-      cfg.postHook.foreach(_(spark))
+      sentinel.map(_.widened).getOrElse(Nil)
     } finally sink.foreach(spark.streams.removeListener)
   }
 }

@@ -48,6 +48,64 @@ class SchemaEvolutionSpec extends SparkSpec {
       ("c3", 0, "c", "en")))
   }
 
+  test("schema sentinel: a continuous tail picks up a column added mid-run") {
+    val root = tmpDir("evo-sentinel")
+    val binlog = s"$root/binlog"
+    graft.sources.Changelog.writeBinlog(
+      batch(Seq(("I", "c1", 0, "a", 1L), ("I", "c2", 0, "b", 2L))),
+      binlog, shards = 2, segSize = 10)
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w-sentinel", buckets = 2)
+    val qName = s"graft-ingest-${cfg.writerId}"
+    // once the tail has drained phase 1, append segments carrying a NEW
+    // column mid-run (sidecar widens first — writeBinlog's contract), then
+    // poll the table until the restarted leg landed the new values and
+    // stop the still-running tail so the test doesn't ride out stopAfterMs
+    @volatile var sawLang = false
+    val writer = new Thread(() => {
+      while (!Icelite.exists(cfg.tablePath) ||
+          scala.util.Try(Icelite.load(spark, cfg.tablePath).read().count()).getOrElse(0L) < 2L)
+        Thread.sleep(100)
+      graft.sources.Changelog.writeBinlog(
+        batch(Seq(("I", "c3", 0, "c", 21L), ("U", "c1", 0, "a2", 22L)))
+          .withColumn("lang", lit("en")),
+        binlog, shards = 2, segSize = 10)
+      while (!sawLang) {
+        sawLang = scala.util.Try {
+          val t = Icelite.load(spark, cfg.tablePath)
+          t.currentSchema().fieldNames.contains("lang") &&
+            t.read().filter(col("lang") === "en").count() === 2L
+        }.getOrElse(false)
+        if (!sawLang) Thread.sleep(150)
+      }
+      spark.streams.active.filter(_.name == qName).foreach(_.stop())
+    })
+    writer.start()
+    // ONE runStream call: the sentinel must stop + restart internally —
+    // no manual second run (contrast the restart test above)
+    Ingest.runStream(spark, cfg, binlog,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(200L),
+      stopAfterMs = Some(90000L)) // safety net; the writer stops it early
+    writer.join(10000)
+    assert(sawLang, "sentinel never restarted the tail with the wider schema")
+    val rows = Icelite.load(spark, cfg.tablePath).read()
+      .select("conv_id", "turn_idx", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(rows === Set(("c1", 0, "a2", "en"), ("c2", 0, "b", null),
+      ("c3", 0, "c", "en")))
+  }
+
+  test("SchemaSentinel.widerColumns flags new columns and widened types") {
+    import graft.streaming.SchemaSentinel.widerColumns
+    val run = StructType(Seq(StructField("a", IntegerType),
+      StructField("b", StringType)))
+    assert(widerColumns(run, run) === Nil)
+    assert(widerColumns(run, StructType(run.fields :+
+      StructField("c", StringType))) === Seq("c"))
+    assert(widerColumns(run, StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType)))) === Seq("a"))
+  }
+
   test("add-column: later batch introduces a new nullable payload column") {
     val root = tmpDir("evo1")
     val cfg = Ingest.Config(s"$root/t", s"$root/c", "w0", buckets = 4)
