@@ -70,6 +70,41 @@ object KafkaShape {
       if (df.columns.contains(n)) col(n) else lit(null).cast("string").as(n)
     }: _*)
 
+  /** Consume-side wiring of the CDC topic (S10): shape a Kafka-record
+    * DataFrame (binary or string `value` column, as `readStream
+    * .format("kafka")` yields it) into typed change events per
+    * [[graft.model.Model.changeSchema]]. Shared by `IngestMain mode=kafka`
+    * and the broker-less MemoryStream contract test — the same projection
+    * either way, which is what makes the contract test evidence for the
+    * CLI path. Modes mirror the reference's value formats
+    * (`KafkaReader.java:290-351`): `split` (delimited fields, the
+    * [[render]] inverse), `json` (one object per record), `regex`
+    * (capture group i = column i). Empty strings — the render default
+    * `nullFormat` and regexp_extract's non-match result — become typed
+    * nulls; malformed records surface as null op/conv_id/seq and route to
+    * the dirty gate downstream instead of failing the stream. */
+  def changeEvents(df: DataFrame, mode: String = "split",
+      delimiter: String = "\u0001", pattern: String = ""): DataFrame = {
+    val schema = graft.model.Model.changeSchema
+    val value = df.select(col("value").cast("string").as("value"))
+    mode match {
+      case "json" => parseJsonSchema(value, "value", schema)
+      case m =>
+        val names = schema.fieldNames.toSeq
+        val strings = m match {
+          case "split" => parseSplit(value, "value", delimiter, names)
+          case "regex" =>
+            require(pattern.nonEmpty, "kafkaParse=regex needs kafkaPattern=<re>")
+            parseRegex(value, "value", pattern, names)
+          case other => throw new IllegalArgumentException(
+            s"kafkaParse=$other (expected json|split|regex)")
+        }
+        strings.select(schema.fields.toSeq.map { f =>
+          nullif(col(f.name), lit("")).cast(f.dataType).as(f.name)
+        }: _*)
+    }
+  }
+
   /** Kafka produce rendering — the fork-added kafkawriter's value contract
     * (`kafkawriter/.../KafkaWriter.java`: record fields joined by
     * `fieldDelimiter`): (key, value) string columns ready for

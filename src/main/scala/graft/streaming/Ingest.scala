@@ -393,15 +393,15 @@ object Ingest {
     * it the call blocks until the query is stopped externally or fails).
     * Either way the checkpoint makes the job resumable exactly-once.
     *
-    * Schema evolution is self-enforcing: a [[SchemaSentinel]] watches the
-    * binlog's `_schema.json` sidecar and gracefully stops the query when
-    * it widens; this loop then restarts the tail with the wider schema
-    * (re-inferred from the sidecar) and keeps going — so a column added
-    * mid-tail reaches the table without operator intervention. Because
-    * [[Changelog.writeBinlog]] widens the sidecar BEFORE the data lands,
-    * the stop normally precedes any narrow consumption of the widened
-    * segments; the post-run warning remains the contract for foreign
-    * (sidecar-less) binlogs, where the sentinel has nothing to probe.
+    * Schema evolution is self-enforcing: every micro-batch first probes
+    * the binlog's `_schema.json` sidecar and FAILS (before its offsets
+    * commit) if it widened — so widened segments are never consumed
+    * narrow — while a [[SchemaSentinel]] poll also stops an idle tail
+    * promptly. Either way this loop restarts the tail with the wider
+    * schema (re-inferred from the sidecar) and keeps going: a column
+    * added mid-tail reaches the table without operator intervention.
+    * The post-run warning remains the contract for foreign (sidecar-less)
+    * binlogs, where there is nothing to probe.
     */
   def runStream(spark: SparkSession, cfg: Config, binlogDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
@@ -470,30 +470,51 @@ object Ingest {
       spark.streams.addListener(s); s
     }
     try {
+      val srcSchema = src.schema
       val q = src.writeStream
         .queryName(name)
         .option("checkpointLocation", cfg.checkpointDir)
         .trigger(trigger)
         .foreachBatch { (df: DataFrame, id: Long) =>
+          // per-batch widen guard — the CORRECTNESS half of the schema
+          // sentinel (see SchemaSentinel's scaladoc): fail the batch
+          // before its offsets commit so widened segments are never
+          // consumed narrow; the polling thread below is promptness only
+          sentinelProbe.foreach { p =>
+            val w = p().map(SchemaSentinel.widerColumns(srcSchema, _))
+              .getOrElse(Nil)
+            if (w.nonEmpty) throw new SchemaSentinel.SchemaWidened(w)
+          }
           applyBatch(spark, eff, df, id); ()
         }
         .start()
       val dog = cfg.stallTimeoutMs.map(ms => new Watchdog(q, ms))
-      val sentinel = sentinelProbe.map(p => new SchemaSentinel(q, src.schema, p))
+      val sentinel = sentinelProbe.map(p => new SchemaSentinel(q, srcSchema, p))
+      def widenedCause(e: Throwable): Option[SchemaSentinel.SchemaWidened] =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+          .collectFirst { case s: SchemaSentinel.SchemaWidened => s }
+      var guardWidened: Seq[String] = Nil
       try {
-        stopAfterMs match {
-          case Some(ms) =>
-            q.awaitTermination(ms)
-            if (q.isActive) q.stop()
-            q.awaitTermination()
-          case None => q.awaitTermination()
+        try {
+          stopAfterMs match {
+            case Some(ms) =>
+              q.awaitTermination(ms)
+              if (q.isActive) q.stop()
+              q.awaitTermination()
+            case None => q.awaitTermination()
+          }
+        } catch {
+          // the guard's failure is a planned restart, not an error
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+              if widenedCause(e).isDefined =>
+            guardWidened = widenedCause(e).get.widened
         }
       } finally { dog.foreach(_.close()); sentinel.foreach(_.close()) }
       if (dog.exists(_.stalled))
         throw new IllegalStateException(
           s"ingest stalled: a trigger made no progress for ${cfg.stallTimeoutMs.get} ms " +
             "(watchdog stopped the query; restart resumes from the checkpoint)")
-      sentinel.map(_.widened).getOrElse(Nil)
+      (sentinel.map(_.widened).getOrElse(Nil) ++ guardWidened).distinct
     } finally sink.foreach(spark.streams.removeListener)
   }
 }

@@ -16,12 +16,24 @@ import org.apache.spark.sql.types.StructType
   * .Changelog.writeBinlog]] widens BEFORE writing the data — and
   * gracefully stops the query the moment the probed schema is wider than
   * the running one, so the ingest loop ([[Ingest.runStream]]) restarts
-  * the tail with the wider schema. Because the sidecar lands before the
-  * widened segments, the stop normally wins the race against consuming
-  * them narrow. Checkpointed offsets + the idempotent commit gate make
-  * the stop/restart exactly-once, same as the [[Watchdog]]'s failover
-  * stop (reference analogue: the job container reloading task config on
-  * restart, `core/.../taskgroup/TaskGroupContainer.java:146-269`).
+  * the tail with the wider schema.
+  *
+  * The poll alone is NOT the correctness mechanism — at short trigger
+  * intervals the next micro-batch can consume the widened segments narrow
+  * before the poll fires, and once their offsets commit a restart never
+  * re-reads them (observed in practice at 200 ms triggers). Correctness
+  * comes from the per-batch guard ([[Ingest]] probes the sidecar at the
+  * START of every foreachBatch and throws [[SchemaSentinel.SchemaWidened]]
+  * when it widened): the batch fails BEFORE its offsets commit, so the
+  * restart re-reads the same files with the wider schema. The sidecar is
+  * written before the widened data files ([[graft.sources.Changelog
+  * .writeBinlog]]'s ordering contract), so a batch that picked up a
+  * widened file always probes a widened sidecar — no window. The polling
+  * thread remains for promptness (stop an idle tail without waiting for
+  * the next data trigger). Checkpointed offsets + the idempotent commit
+  * gate make either stop/restart exactly-once, same as the [[Watchdog]]'s
+  * failover stop (reference analogue: the job container reloading task
+  * config on restart, `core/.../taskgroup/TaskGroupContainer.java:146-269`).
   *
   * A sidecar-less (foreign) binlog probes as None and the sentinel idles
   * — the post-run warning remains that case's contract.
@@ -53,6 +65,16 @@ final class SchemaSentinel(q: StreamingQuery, runSchema: StructType,
 }
 
 object SchemaSentinel {
+
+  /** Thrown by the per-batch guard to fail a micro-batch BEFORE its
+    * offsets commit when the sidecar widened — the restart then re-reads
+    * the same files with the wider schema (nothing is lost; the failed
+    * batch never merged, and [[graft.plans.IceliteTable.merge]]'s
+    * (writerId, batchId) gate makes any replay idempotent anyway). */
+  final class SchemaWidened(val widened: Seq[String]) extends RuntimeException(
+    s"binlog schema widened mid-stream (${widened.mkString(", ")}); " +
+      "failing the batch before its offsets commit so the restart " +
+      "re-reads it with the wider schema")
 
   /** Names of columns `now` carries that `run` lacks, plus shared columns
     * whose type differs (the sidecar only ever widens —

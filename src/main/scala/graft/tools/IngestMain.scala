@@ -20,6 +20,18 @@ import graft.streaming.Ingest
   *   ingest from a registered shard-cursor feed
   *   ([[graft.sources.ShardCursorSource]], the DataHub/OTS pattern)
   *   instead of a binlog dir
+  *   mode=kafka brokers=<host:port,..> topic=<t> — consume a CDC topic
+  *   via `readStream.format("kafka")` (S10 execution seam;
+  *   `kafkareader/.../KafkaReader.java:203-241`). Value shaping:
+  *   kafkaParse=split|json|regex (default split),
+  *   kafkaDelimiter=<d> kafkaPattern=<re>
+  *   startingOffsets=earliest|latest (default earliest), plus
+  *   intervalMs/stopAfterMs as for continuous. Needs the
+  *   spark-sql-kafka connector jar on the classpath (ship via
+  *   spark-submit --packages); absent — as in this offline sandbox —
+  *   the mode fails fast with that instruction, and the broker-less
+  *   contract test (StreamingSpec) covers the identical
+  *   parse→gate→merge chain on a MemoryStream
   *   mode=compact|rebucket|expire|lineage-rollup — table maintenance
   *   without an ingest run (the Iceberg procedure analogues): compact
   *   folds delta files, rebucket newBuckets=<n> re-spreads a table that
@@ -92,7 +104,41 @@ object IngestMain {
   private val MaintenanceModes = Set("compact", "rebucket", "expire",
     "lineage-rollup", "files", "snapshots")
   /** modes that read no binlog dir (maintenance + non-binlog sources) */
-  private val NoBinlogModes = MaintenanceModes + "shards"
+  private val NoBinlogModes = MaintenanceModes ++ Set("shards", "kafka")
+
+  /** Build the S10 consume source: `readStream.format("kafka")` plus the
+    * [[graft.sources.KafkaShape.changeEvents]] value shaping (the exact
+    * projection the broker-less contract test drives end-to-end). Where
+    * the connector jar is absent — Spark ships it as a separate artifact,
+    * and this sandbox is offline — the lookup fails at `load()`; rethrow
+    * with the actionable fix instead of a bare class-not-found. */
+  def kafkaSource(spark: SparkSession, kv: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    def req(k: String) = kv.getOrElse(k,
+      throw new IllegalArgumentException(s"mode=kafka needs $k=<value>"))
+    val raw =
+      try spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", req("brokers"))
+        .option("subscribe", req("topic"))
+        .option("startingOffsets", kv.getOrElse("startingOffsets", "earliest"))
+        .load()
+      catch {
+        case e: Exception if e.getMessage != null &&
+            (e.getMessage.contains("DATA_SOURCE_NOT_FOUND") ||
+             e.getMessage.contains("Failed to find the data source") ||
+             e.getMessage.contains("Failed to find data source")) =>
+          throw new IllegalStateException(
+            "mode=kafka needs the Kafka connector jar on the classpath — " +
+              "run under spark-submit --packages " +
+              "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> " +
+              "(it is not bundled with Spark and this environment is offline); " +
+              "the parse/gate/merge chain itself is broker-independent and " +
+              "covered by the MemoryStream contract test", e)
+      }
+    graft.sources.KafkaShape.changeEvents(raw,
+      kv.getOrElse("kafkaParse", "split"),
+      kv.getOrElse("kafkaDelimiter", "\u0001"),
+      kv.getOrElse("kafkaPattern", ""))
+  }
 
   def main(args: Array[String]): Unit = {
     val kv = parse(args)
@@ -159,6 +205,18 @@ object IngestMain {
           Ingest.runStreamSource(spark, cfg, spark.readStream
             .format(classOf[graft.sources.ShardCursorSource].getName)
             .option("feed", feed).load())
+        case "kafka" =>
+          // S10 execution seam: Kafka topic → changeEvents shaping → the
+          // same gate/merge chain as every other source. Default trigger
+          // follows `continuous` (a topic tail is long-running); pass
+          // trigger=availableNow for a drain-and-stop run
+          val trigger =
+            if (kv.get("trigger").contains("availableNow"))
+              org.apache.spark.sql.streaming.Trigger.AvailableNow()
+            else org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+              kv.getOrElse("intervalMs", "2000").toLong)
+          Ingest.runStreamSource(spark, cfg, kafkaSource(spark, kv),
+            trigger, kv.get("stopAfterMs").map(_.toLong))
         case "continuous" => Ingest.runStream(spark, cfg, binlog,
           org.apache.spark.sql.streaming.Trigger.ProcessingTime(
             kv.getOrElse("intervalMs", "2000").toLong),

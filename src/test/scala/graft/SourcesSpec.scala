@@ -230,6 +230,52 @@ class SourcesSpec extends SparkSpec {
     assert(syn.select("data_from").head().getString(0) === "kafka-topic-1")
   }
 
+  test("changeEvents: render round-trips to typed change events (S10 wiring)") {
+    import graft.sources.Gen
+    // the projection shared by IngestMain.kafkaSource and the MemoryStream
+    // contract test — typed round-trip over generated change events
+    val ch = Gen.changelog(spark, Gen.GenConfig(events = 300, convs = 20))
+    val names = graft.model.Model.changeSchema.fieldNames.toSeq
+    val rendered = KafkaShape.render(ch, "conv_id", "\u0001", names)
+    val back = KafkaShape.changeEvents(rendered, "split", "\u0001")
+    assert(back.schema === graft.model.Model.changeSchema
+      .copy(fields = graft.model.Model.changeSchema.fields.map(_.copy(nullable = true))))
+    val cols = names.sorted.map(col)
+    assert(ch.select(cols: _*).exceptAll(back.select(cols: _*)).isEmpty)
+    assert(back.select(cols: _*).exceptAll(ch.select(cols: _*)).isEmpty)
+
+    // json mode: one object per record, from_json typing in one pass
+    val asJson = ch.select(to_json(struct(names.map(col): _*)).as("value"))
+    val backJ = KafkaShape.changeEvents(asJson, "json")
+    assert(ch.select(cols: _*).exceptAll(backJ.select(cols: _*)).isEmpty)
+
+    // regex mode + malformed records: nulls (dirty-gate food), not aborts;
+    // the pattern carries one capture group per change-schema column
+    val re = Seq("I,c7,3,user,hi,,2024-01-01 00:00:00,2024-01-01 00:00:00,5",
+      "garbage").toDF("value")
+    val backR = KafkaShape.changeEvents(re, "regex",
+      pattern = Seq.fill(9)("([^,]*)").mkString(","))
+    val rows = backR.select("op", "conv_id", "turn_idx", "seq").collect()
+    assert(rows(0).toSeq === Seq("I", "c7", 3, 5L))
+    assert(rows(1).toSeq === Seq(null, null, null, null))
+    intercept[IllegalArgumentException](KafkaShape.changeEvents(re, "bogus"))
+    intercept[IllegalArgumentException](KafkaShape.changeEvents(re, "regex"))
+  }
+
+  test("mode=kafka fails fast with the --packages instruction offline") {
+    import graft.tools.IngestMain
+    // connector jar absent in this offline sandbox: the seam must surface
+    // the actionable fix, not a bare DATA_SOURCE_NOT_FOUND
+    val e = intercept[IllegalStateException](IngestMain.kafkaSource(spark,
+      Map("brokers" -> "broker:9092", "topic" -> "cdc")))
+    assert(e.getMessage.contains("--packages"))
+    assert(e.getCause != null) // original lookup failure preserved
+    intercept[IllegalArgumentException](
+      IngestMain.kafkaSource(spark, Map("topic" -> "cdc")))
+    intercept[IllegalArgumentException](
+      IngestMain.kafkaSource(spark, Map("brokers" -> "b:9092")))
+  }
+
   // ------------------------------------------------------------ write modes
 
   test("writeMode truncate/append/nonConflict semantics") {

@@ -174,19 +174,15 @@ class StreamingSpec extends SparkSpec {
     val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w-kafka", buckets = 4,
       deadLetterDir = Some(s"$root/dead"))
     val input = MemoryStream[(String, String)]
-    def de(c: String): Column = nullif(col(c), lit("")) // render nullFormat=""
     val q = input.toDF().writeStream
       .option("checkpointLocation", s"$root/qck")
       .foreachBatch { (df: DataFrame, id: Long) =>
-        val parsed = KafkaShape.parseSplit(
-          df.select(col("_2").as("value")), "value", "\u0001", names)
-        val typed = parsed.select(
-          de("op").as("op"), de("conv_id").as("conv_id"),
-          de("turn_idx").cast("int").as("turn_idx"),
-          de("role").as("role"), de("text").as("text"), de("tool").as("tool"),
-          de("ts").cast("timestamp").as("ts"),
-          de("event_ts").cast("timestamp").as("event_ts"),
-          de("seq").cast("long").as("seq"))
+        // the EXACT projection IngestMain.kafkaSource wires over the real
+        // connector (split parse -> typed change events, nullFormat ""
+        // back to typed nulls) — shared code is what makes this test the
+        // evidence for mode=kafka; the broker is the only absent piece
+        val typed = KafkaShape.changeEvents(
+          df.select(col("_2").as("value")), "split", "\u0001")
         Ingest.applyBatch(spark, cfg, typed, id); ()
       }.start()
     try {
