@@ -24,6 +24,26 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The lexical half of the corpus-prep pipeline, shared by `corpus_prep`
+    * and `corpus_prep_v2`: quality gate → language-ID gate → exact dedup
+    * (keep min doc_id per normalized-text fingerprint) → MinHash-LSH
+    * near-dup clustering (keep min doc_id per cluster). Every stage is
+    * individually oracle-checked; each is a hash agg or a banded
+    * equi-join — no all-pairs work enters the plan. */
+  private def corpusKept(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id"), col("source"), col("text"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.langId(col("text")).as("lang_pred"),
+      size(TextOps.tokens(col("text"))).as("n_tokens"))
+    val gated = scored.filter(col("quality") >= 0.55 && col("lang_pred") =!= "und")
+    val canon = Dedup.exactGroups(gated, "doc_id", "text")
+      .select(col("canonical_id").as("doc_id"))
+    val uniq = gated.join(canon, Seq("doc_id"), "left_semi")
+    val drops = Dedup.clusters(Dedup.minHashLshPairs(uniq, "doc_id", "text"))
+      .filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
+    uniq.join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** Flagship: full CDC replay (changelog → binlog → LWW merge → icelite
     * snapshot table) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -464,18 +484,25 @@ object SparkEntry {
     // individually oracle-checked above; this entry pins the COMPOSITION
     // against one DuckDB query. Scale: each stage is a hash agg or a
     // banded equi-join — no all-pairs work enters the plan.
-    "corpus_prep" -> ((s, dir) => {
-      val scored = docs(s, dir).select(col("doc_id"), col("source"), col("text"),
-        TextOps.qualityScore(col("text")).as("quality"),
-        TextOps.langId(col("text")).as("lang_pred"),
-        size(TextOps.tokens(col("text"))).as("n_tokens"))
-      val gated = scored.filter(col("quality") >= 0.55 && col("lang_pred") =!= "und")
-      val canon = Dedup.exactGroups(gated, "doc_id", "text")
-        .select(col("canonical_id").as("doc_id"))
-      val uniq = gated.join(canon, Seq("doc_id"), "left_semi")
-      val drops = Dedup.clusters(Dedup.minHashLshPairs(uniq, "doc_id", "text"))
+    "corpus_prep" -> ((s, dir) =>
+      corpusKept(s, dir)
+        .select("doc_id", "source", "lang_pred", "quality", "n_tokens")
+        .orderBy("doc_id")),
+
+    // corpus_prep + the SEMANTIC near-dup stage real training pipelines
+    // add after lexical dedup: the surviving docs' embeddings go through
+    // LSH-blocked cosine pairing ([[Ann.lshCosinePairs]] — banded
+    // equi-join, never all-pairs) and connected-components keeps one doc
+    // per semantic cluster. Deterministic end to end (md5-derived
+    // hyperplanes), so the oracle replicates buckets and cosines exactly.
+    "corpus_prep_v2" -> ((s, dir) => {
+      val kept = corpusKept(s, dir)
+      val vecs = embs(s, dir).join(kept.select(col("doc_id")),
+        col("vec_id") === col("doc_id"), "left_semi")
+      val semPairs = Ann.lshCosinePairs(vecs, "vec_id", "embedding", 0.4)
+      val semDrops = Dedup.clusters(semPairs)
         .filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
-      uniq.join(drops, Seq("doc_id"), "left_anti")
+      kept.join(semDrops, Seq("doc_id"), "left_anti")
         .select("doc_id", "source", "lang_pred", "quality", "n_tokens")
         .orderBy("doc_id")
     }),
@@ -555,6 +582,59 @@ object SparkEntry {
       FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
             FROM $rel))"""
   private val duckShingles = duckShinglesFrom("documents")
+
+  /** Shared lexical corpus-prep CTE chain (through `drops`), used by the
+    * corpus_prep and corpus_prep_v2 oracles. */
+  private val duckCorpusPrepCtes = s"""scored AS (
+        SELECT doc_id, source, text,
+          round(0.4 * least(n::DOUBLE / 50.0, 1.0)
+              + 0.4 * (d::DOUBLE / n)
+              + 0.2 * least(sw::DOUBLE / 3.0, 1.0), 6) AS quality,
+          CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+               WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+               WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+               WHEN es >= fr AND es >= zh THEN 'es'
+               WHEN fr >= zh THEN 'fr'
+               ELSE 'zh' END AS lang_pred,
+          n AS n_tokens
+        FROM (
+          SELECT doc_id, source, text,
+            len(t) AS n, len(list_distinct(t)) AS d,
+            len(list_filter(t, x -> x IN ('the', 'a'))) AS sw,
+            len(list_filter(t, x -> x IN ('der','die','und','das','ein'))) AS de,
+            len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS en,
+            len(list_filter(t, x -> x IN ('el','la','de','los','que'))) AS es,
+            len(list_filter(t, x -> x IN ('le','la','les','des','une'))) AS fr,
+            len(list_filter(t, x -> x IN ('的','是','了','在','和'))) AS zh
+          FROM (SELECT doc_id, source, text, string_split(text, ' ') AS t
+                FROM documents))),
+      gated AS (
+        SELECT * FROM scored WHERE quality >= 0.55 AND lang_pred <> 'und'),
+      canon AS (
+        SELECT min(doc_id) AS doc_id FROM gated
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+      uniq AS (SELECT g.* FROM gated g JOIN canon c ON g.doc_id = c.doc_id),
+      sh AS (${duckShinglesFrom("uniq")}),
+      card AS (SELECT id, count(*) AS c FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN card ca ON ca.id = id_a
+        JOIN card cb ON cb.id = id_b
+        WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.8),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id),
+      drops AS (
+        SELECT id FROM (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        WHERE id <> cluster)"""
 
   /** tf-weighted token rows (one per (doc, token)) feeding simhash. */
   private val duckSimhash = """
@@ -871,58 +951,55 @@ object SparkEntry {
     // text_quality / text_langid / dedup_exact / dedup_minhash_lsh /
     // dedup_clusters oracles, chained over narrowing CTEs
     "corpus_prep" -> s"""
-      WITH RECURSIVE scored AS (
-        SELECT doc_id, source, text,
-          round(0.4 * least(n::DOUBLE / 50.0, 1.0)
-              + 0.4 * (d::DOUBLE / n)
-              + 0.2 * least(sw::DOUBLE / 3.0, 1.0), 6) AS quality,
-          CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
-               WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
-               WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
-               WHEN es >= fr AND es >= zh THEN 'es'
-               WHEN fr >= zh THEN 'fr'
-               ELSE 'zh' END AS lang_pred,
-          n AS n_tokens
-        FROM (
-          SELECT doc_id, source, text,
-            len(t) AS n, len(list_distinct(t)) AS d,
-            len(list_filter(t, x -> x IN ('the', 'a'))) AS sw,
-            len(list_filter(t, x -> x IN ('der','die','und','das','ein'))) AS de,
-            len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS en,
-            len(list_filter(t, x -> x IN ('el','la','de','los','que'))) AS es,
-            len(list_filter(t, x -> x IN ('le','la','les','des','une'))) AS fr,
-            len(list_filter(t, x -> x IN ('的','是','了','在','和'))) AS zh
-          FROM (SELECT doc_id, source, text, string_split(text, ' ') AS t
-                FROM documents))),
-      gated AS (
-        SELECT * FROM scored WHERE quality >= 0.55 AND lang_pred <> 'und'),
-      canon AS (
-        SELECT min(doc_id) AS doc_id FROM gated
-        GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
-      uniq AS (SELECT g.* FROM gated g JOIN canon c ON g.doc_id = c.doc_id),
-      sh AS (${duckShinglesFrom("uniq")}),
-      card AS (SELECT id, count(*) AS c FROM sh GROUP BY 1),
-      inter AS (
-        SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
-      pairs AS (
-        SELECT id_a, id_b FROM inter
-        JOIN card ca ON ca.id = id_a
-        JOIN card cb ON cb.id = id_b
-        WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.8),
-      edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs),
-      reach(id, r) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id),
-      drops AS (
-        SELECT id FROM (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
-        WHERE id <> cluster)
+      WITH RECURSIVE $duckCorpusPrepCtes
       SELECT doc_id, source, lang_pred, quality, n_tokens
       FROM uniq WHERE doc_id NOT IN (SELECT id FROM drops)
+      ORDER BY doc_id""",
+
+    // corpus_prep + the semantic stage: the survivors' embeddings through
+    // the ann_lsh_topk hyperplane replication (identical doubles), exact
+    // cosine on same-bucket candidates, connected components, keep the
+    // min-id doc per semantic cluster
+    "corpus_prep_v2" -> s"""
+      WITH RECURSIVE $duckCorpusPrepCtes,
+      kept AS (
+        SELECT * FROM uniq WHERE doc_id NOT IN (SELECT id FROM drops)),
+      ev AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings WHERE vec_id IN (SELECT doc_id FROM kept)),
+      edims AS (SELECT len(v) AS nd FROM ev LIMIT 1),
+      eplanes AS (
+        SELECT t, p,
+          [(('0x' || substr(md5(t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+            % 2000) / 1000.0 - 1.0 FOR d IN range(nd)] AS w
+        FROM (SELECT unnest(range(8)) AS t), (SELECT unnest(range(4)) AS p), edims),
+      ecodes AS (
+        SELECT ev.id, pl.t AS tbl,
+          CAST(sum(CASE WHEN list_dot_product(ev.v, pl.w) >= 0
+                   THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bkt
+        FROM ev, eplanes pl GROUP BY ev.id, pl.t),
+      epairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM ecodes a JOIN ecodes b
+          ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.id < b.id),
+      sem AS (
+        SELECT p.id_a, p.id_b FROM epairs p
+        JOIN ev va ON va.id = p.id_a JOIN ev vb ON vb.id = p.id_b
+        WHERE list_dot_product(va.v, vb.v) / (va.norm * vb.norm) >= 0.4),
+      eedges AS (
+        SELECT id_a AS src, id_b AS dst FROM sem
+        UNION
+        SELECT id_b, id_a FROM sem),
+      ereach(id, r) AS (
+        SELECT src, src FROM eedges
+        UNION
+        SELECT e.dst, r.r FROM ereach r JOIN eedges e ON e.src = r.id),
+      edrops AS (
+        SELECT id FROM (SELECT id, min(r) AS cluster FROM ereach GROUP BY id)
+        WHERE id <> cluster)
+      SELECT doc_id, source, lang_pred, quality, n_tokens
+      FROM kept WHERE doc_id NOT IN (SELECT id FROM edrops)
       ORDER BY doc_id""",
 
     "dedup_simhash" -> s"$duckSimhash\nORDER BY id",

@@ -288,6 +288,17 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("doc_id").isInCollection(ids))
     val residualPairs = Dedup.minHashLshPairs(docs, "doc_id", "text").count()
     assert(residualPairs === 0L, "survivors must be pairwise non-near-dup")
+
+    // v2 adds the semantic stage: strictly a subset of the lexical
+    // survivors, and no two v2 survivors still share an LSH-cosine pair
+    val v2 = SparkEntry.queries("corpus_prep_v2")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val v2Ids = v2.map(_.getAs[Long]("doc_id")).toSet
+    assert(v2Ids.subsetOf(ids))
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id").isInCollection(v2Ids))
+    assert(graft.operators.Ann.lshCosinePairs(vecs, "vec_id", "embedding", 0.4)
+      .count() === 0L, "v2 survivors must be pairwise semantically distinct")
   }
 
   // ------------------------------------------------------------ bpe tokens
