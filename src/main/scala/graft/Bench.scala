@@ -339,8 +339,14 @@ object Bench {
         (n, 4 * n, e)
       }
     // headline = best measured N→4N pair (pairs below bus saturation
-    // legitimately score higher; the full curve is reported alongside)
-    val (nLow, nHigh, eff) = pairs.maxBy(_._3)
+    // legitimately score higher; the full curve is reported alongside).
+    // Same storm policy as the cluster headline (ClusterScaling
+    // .MaxPlausibleEfficiency): a ratio above perfect scaling means a
+    // steal storm deflated the LOW leg — the headline key must never
+    // report super-linear, so it clamps at 1.0 and the raw measurement
+    // stays alongside (and in `pairs`) as audit material
+    val (nLow, nHigh, rawEff) = pairs.maxBy(_._3)
+    val eff = math.min(1.0, rawEff)
     val thr = Seq(thrByLevel(nLow), thrByLevel(nHigh))
 
     // hardware strong-scaling ceiling of this box, pure-CPU JVM threads —
@@ -385,7 +391,8 @@ object Bench {
       s""""queries":${fmt(results)},"throughput":${fmt(extra)},""" +
       s""""scaling":{"n_low":$nLow,"n_high":$nHigh,"events":$scaleEvents,""" +
       f""""thr_low":${thr(0)}%.0f,"thr_high":${thr(1)}%.0f,"efficiency":$eff%.3f,""" +
-      f""""hw_cpu_ceiling":$hwEff%.3f,"efficiency_vs_ceiling":${eff / hwEff}%.3f,""" +
+      f""""raw_efficiency":$rawEff%.3f,""" +
+      f""""hw_cpu_ceiling":$hwEff%.3f,"efficiency_vs_ceiling":${math.min(1.0, eff / hwEff)}%.3f,""" +
       s""""curve_events_per_sec":$curveJson,"pairs":$pairsJson},""" +
       clusterJson.map(c => s""""cluster_scaling":$c,""").getOrElse("") +
       s""""bench_events":$events,"cpus":$cpus,"sf":"$sfDir"}"""
