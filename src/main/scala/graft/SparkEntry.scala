@@ -959,12 +959,29 @@ object SparkEntry {
     // corpus_prep + the semantic stage: the survivors' embeddings through
     // the ann_lsh_topk hyperplane replication (identical doubles), exact
     // cosine on same-bucket candidates, connected components, keep the
-    // min-id doc per semantic cluster
+    // min-id doc per semantic cluster.
+    //
+    // STRUCTURE NOTE (DuckDB 1.0.0 workaround, found at sf0.1): inside one
+    // large `WITH RECURSIVE` scope, CTEs placed after the first recursive
+    // member can silently evaluate to EMPTY once the input passes a size
+    // threshold — reproduced here: with the whole chain under WITH
+    // RECURSIVE, `epairs` (563k rows when probed alone) evaluated to 0
+    // rows in the full query, so the semantic stage dropped nothing and
+    // the oracle disagreed with Spark by exactly the 500 semantic dups.
+    // The workaround: the outer query is a PLAIN WITH; the lexical
+    // chain's recursion is confined to a nested sub-select inside `kept`
+    // (materialized — it is referenced twice); the semantic connected
+    // components use non-recursive transitive-closure SQUARING
+    // (e_{k+1} = e_k ∘ e_k with identity kept, 6 squarings = 64-hop
+    // diameter bound, far above any near-dup cluster here). The Spark
+    // side (Dedup.clusters) has no such bound and THROWS on
+    // non-convergence, so a mismatch would fail loudly, not silently.
     "corpus_prep_v2" -> s"""
-      WITH RECURSIVE $duckCorpusPrepCtes,
-      kept AS (
-        SELECT * FROM uniq WHERE doc_id NOT IN (SELECT id FROM drops)),
-      ev AS (
+      WITH kept AS MATERIALIZED (
+        WITH RECURSIVE $duckCorpusPrepCtes
+        SELECT doc_id, source, lang_pred, quality, n_tokens
+        FROM uniq WHERE doc_id NOT IN (SELECT id FROM drops)),
+      ev AS MATERIALIZED (
         SELECT vec_id AS id, embedding::DOUBLE[] AS v,
           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
         FROM embeddings WHERE vec_id IN (SELECT doc_id FROM kept)),
@@ -983,21 +1000,23 @@ object SparkEntry {
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM ecodes a JOIN ecodes b
           ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.id < b.id),
-      sem AS (
+      sem AS MATERIALIZED (
         SELECT p.id_a, p.id_b FROM epairs p
         JOIN ev va ON va.id = p.id_a JOIN ev vb ON vb.id = p.id_b
         WHERE list_dot_product(va.v, vb.v) / (va.norm * vb.norm) >= 0.4),
-      eedges AS (
+      eedges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM sem
-        UNION
-        SELECT id_b, id_a FROM sem),
-      ereach(id, r) AS (
-        SELECT src, src FROM eedges
-        UNION
-        SELECT e.dst, r.r FROM ereach r JOIN eedges e ON e.src = r.id),
+        UNION SELECT id_b, id_a FROM sem
+        UNION SELECT id_a, id_a FROM sem
+        UNION SELECT id_b, id_b FROM sem),
+      ec1 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM eedges a JOIN eedges b ON a.dst = b.src),
+      ec2 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec1 a JOIN ec1 b ON a.dst = b.src),
+      ec3 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec2 a JOIN ec2 b ON a.dst = b.src),
+      ec4 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec3 a JOIN ec3 b ON a.dst = b.src),
+      ec5 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec4 a JOIN ec4 b ON a.dst = b.src),
+      ec6 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec5 a JOIN ec5 b ON a.dst = b.src),
       edrops AS (
-        SELECT id FROM (SELECT id, min(r) AS cluster FROM ereach GROUP BY id)
-        WHERE id <> cluster)
+        SELECT src AS id FROM ec6 GROUP BY src HAVING src <> min(dst))
       SELECT doc_id, source, lang_pred, quality, n_tokens
       FROM kept WHERE doc_id NOT IN (SELECT id FROM edrops)
       ORDER BY doc_id""",
