@@ -136,9 +136,12 @@ object CommitStore {
           if (root.startsWith("/")) null
           else scala.util.Try(new URI(root).getScheme).getOrElse(null)
         if (scheme == null || scheme == "file") LocalLinkCommitStore
-        else new HadoopCommitStore()
+        // the LIVE session Hadoop conf, so runtime-registered
+        // fs.<scheme>.impl entries (object-store mounts, test schemes)
+        // resolve without a restart
+        else new HadoopCommitStore(Hfs.conf)
       case Some("local") => LocalLinkCommitStore
-      case Some("hadoop") => new HadoopCommitStore()
+      case Some("hadoop") => new HadoopCommitStore(Hfs.conf)
       case Some(cls) => custom.computeIfAbsent(cls, c =>
         Class.forName(c).getDeclaredConstructor()
           .newInstance().asInstanceOf[CommitStore])

@@ -1,8 +1,8 @@
 package graft.plans
 
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 import scala.util.Try
+
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -181,8 +181,8 @@ object Icelite {
     require(Model.keyCols.forall(k => payloadSchema.fieldNames.contains(k)),
       s"payload schema must contain key columns ${Model.keyCols}")
     val full = withLineage(payloadSchema)
-    Files.createDirectories(Paths.get(root, "_icelite"))
-    Files.createDirectories(Paths.get(root, "data"))
+    Hfs.mkdirs(Hfs.path(root, "_icelite"))
+    Hfs.mkdirs(Hfs.path(root, "data"))
     val snap = SnapshotMeta(0L, -1L, "", -1L, buckets, List(full.json), 0,
       Nil, Map("created" -> "true"), System.currentTimeMillis())
     writeSnapshot(root, snap)
@@ -192,24 +192,24 @@ object Icelite {
   def load(spark: SparkSession, root: String): IceliteTable = new IceliteTable(spark, root)
 
   def exists(root: String): Boolean =
-    Files.isDirectory(Paths.get(root, "_icelite")) && latestVersion(root).isDefined
+    Hfs.isDir(Hfs.path(root, "_icelite")) && latestVersion(root).isDefined
 
   // ---------------------------------------------------------------- metadata io
+  // All metadata IO resolves the filesystem from the root's scheme via
+  // [[Hfs]] — a table root on hdfs:// / an object-store connector / the
+  // test graftmem:// works end to end; data files go through Spark's own
+  // (already scheme-aware) parquet IO.
 
-  private[plans] def versionFile(root: String, id: Long) =
-    Paths.get(root, "_icelite", f"v$id%010d.json")
+  private[plans] def versionFile(root: String, id: Long): HPath =
+    Hfs.path(root, "_icelite", f"v$id%010d.json")
 
   /** All committed snapshot ids at `root`, ascending. */
-  private[plans] def listVersions(root: String): Seq[Long] = {
-    val dir = Paths.get(root, "_icelite")
-    if (!Files.isDirectory(dir)) return Nil
-    val it = Files.list(dir)
-    try it.iterator().asScala.map(_.getFileName.toString)
+  private[plans] def listVersions(root: String): Seq[Long] =
+    Hfs.list(Hfs.path(root, "_icelite"))
+      .map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .flatMap(n => Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
-      .toSeq.sorted
-    finally it.close()
-  }
+      .sorted
 
   private[plans] def latestVersion(root: String): Option[Long] =
     listVersions(root).lastOption
@@ -244,17 +244,18 @@ object Icelite {
 
   private[plans] def readSnapshot(root: String, id: Long): SnapshotMeta = {
     val vf = versionFile(root, id)
-    val key = (vf.toAbsolutePath.normalize.toString, id,
-      Files.getLastModifiedTime(vf).toMillis, Files.size(vf))
+    val st = Hfs.status(vf).getOrElse(
+      throw new java.io.FileNotFoundException(vf.toString))
+    val key = (Hfs.qualified(vf).toString, id,
+      st.getModificationTime, st.getLen)
     val hit = snapCache.get(key)
     if (hit != null) return hit
     val head = Serialization.read[SnapshotMeta](new String(
-      Files.readAllBytes(vf), java.nio.charset.StandardCharsets.UTF_8))
+      Hfs.readBytes(vf), java.nio.charset.StandardCharsets.UTF_8))
     val snap = head.manifestRef match {
       case None => head
       case Some(rel) =>
-        val in = new java.util.zip.GZIPInputStream(
-          Files.newInputStream(Paths.get(root, rel)))
+        val in = new java.util.zip.GZIPInputStream(Hfs.open(Hfs.path(root, rel)))
         try head.copy(files = Serialization.read[List[DataFileMeta]](
           new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)))
         finally in.close()
@@ -279,14 +280,15 @@ object Icelite {
       if (snapIn.files.size <= inlineManifestMax) snapIn.copy(manifestRef = None)
       else {
         val rel = s"_icelite/m-${snapIn.snapshotId}-${java.util.UUID.randomUUID().toString.take(8)}.json.gz"
-        val out = new java.util.zip.GZIPOutputStream(
-          Files.newOutputStream(Paths.get(root, rel)))
-        try out.write(Serialization.write(snapIn.files)
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        try gz.write(Serialization.write(snapIn.files)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        finally gz.close()
+        Hfs.write(Hfs.path(root, rel), bos.toByteArray)
         snapIn.copy(files = Nil, manifestRef = Some(rel))
       }
-    val target = versionFile(root, snap.snapshotId)
+    val target = Hfs.qualified(versionFile(root, snap.snapshotId))
     try CommitStore.forRoot(root).publishAtomic(target.toUri,
       Serialization.write(snap).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: CommitConflictException =>
@@ -913,7 +915,7 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       if (deepGc) Nil
       else drop.flatMap(v => Try(readSnapshot(root, v)).toOption)
         .flatMap(_.files.map(_.path)).distinct
-    drop.foreach(v => Files.deleteIfExists(versionFile(root, v)))
+    drop.foreach(v => Hfs.delete(versionFile(root, v)))
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     var deleted = 0
     // side manifests of dropped snapshots (and of commit attempts that
@@ -921,43 +923,39 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     // data files, so an in-flight writer's staged manifest survives. The
     // `_icelite/` listing is O(snapshots + manifests), flat at any data
     // scale, so it runs in both modes.
-    val metaDir = Paths.get(root, "_icelite")
-    val metaLs = Files.list(metaDir)
-    try metaLs.iterator().asScala.toSeq.foreach { p =>
-      val rel = s"_icelite/${p.getFileName}"
-      if (p.getFileName.toString.startsWith("m-") &&
-          !referencedManifests.contains(rel) &&
-          Files.getLastModifiedTime(p).toMillis <= cutoff) {
-        Files.delete(p); deleted += 1
+    Hfs.list(Hfs.path(root, "_icelite")).foreach { st =>
+      val name = st.getPath.getName
+      val rel = s"_icelite/$name"
+      if (name.startsWith("m-") && !referencedManifests.contains(rel) &&
+          st.getModificationTime <= cutoff) {
+        Hfs.delete(st.getPath); deleted += 1
       }
-    } finally metaLs.close()
-    val dataDir = Paths.get(root, "data")
-    if (deepGc && Files.isDirectory(dataDir)) {
-      val walk = Files.walk(dataDir)
-      try walk.iterator().asScala.toSeq.reverse.foreach { p =>
-        val relPath = Paths.get(root).relativize(p).toString
-        if (Files.isRegularFile(p) && relPath.endsWith(".parquet") &&
-            !referenced.contains(relPath) &&
-            Files.getLastModifiedTime(p).toMillis <= cutoff) {
-          Files.delete(p); deleted += 1
-        } else if (Files.isDirectory(p) && p != dataDir) {
-          val ls = Files.list(p)
-          val empty = try !ls.iterator().hasNext finally ls.close()
-          if (empty) Files.delete(p)
+    }
+    val dataDir = Hfs.path(root, "data")
+    val rootQ = Hfs.qualified(Hfs.path(root)).toString
+    def relOf(p: HPath): String =
+      Hfs.qualified(p).toString.stripPrefix(rootQ).stripPrefix("/")
+    if (deepGc && Hfs.isDir(dataDir)) {
+      val touchedDirs = scala.collection.mutable.LinkedHashSet.empty[HPath]
+      Hfs.listFilesRecursive(dataDir).foreach { st =>
+        val rel = relOf(st.getPath)
+        if (rel.endsWith(".parquet") && !referenced.contains(rel) &&
+            st.getModificationTime <= cutoff) {
+          Hfs.delete(st.getPath); deleted += 1
+          touchedDirs += st.getPath.getParent
         }
-      } finally walk.close()
+      }
+      // prune emptied dirs bottom-up (virtual on object stores — no-ops)
+      touchedDirs.foreach(d => Hfs.pruneEmptyDirsUpTo(d, dataDir))
     } else if (!deepGc) {
       droppedRefs.filterNot(referenced.contains).foreach { rel =>
-        val p = Paths.get(root, rel)
-        if (Files.isRegularFile(p) &&
-            Files.getLastModifiedTime(p).toMillis <= cutoff) {
-          Files.delete(p); deleted += 1
-          // prune now-empty parent dirs up to (not including) data/
-          var d = p.getParent
-          while (d != null && d != dataDir && Files.isDirectory(d) && {
-            val ls = Files.list(d)
-            try !ls.iterator().hasNext finally ls.close()
-          }) { Files.delete(d); d = d.getParent }
+        val p = Hfs.path(root, rel)
+        Hfs.status(p).foreach { st =>
+          if (st.isFile && st.getModificationTime <= cutoff) {
+            Hfs.delete(p); deleted += 1
+            // prune now-empty parent dirs up to (not including) data/
+            Hfs.pruneEmptyDirsUpTo(p.getParent, dataDir)
+          }
         }
       }
     }
@@ -1034,22 +1032,17 @@ class IceliteTable(val spark: SparkSession, val root: String) {
   /** Enumerate `(relPath, bucket)` under a staged write dir — a driver
     * directory listing only, no file opens. */
   private def stagedPaths(relDir: String): List[(String, Int)] = {
-    val base = Paths.get(root, relDir)
     val staged = scala.collection.mutable.ListBuffer.empty[(String, Int)]
-    val dirs = Files.list(base)
-    try {
-      dirs.iterator().forEachRemaining { d =>
-        val name = d.getFileName.toString
-        if (name.startsWith(s"$BucketCol=")) {
-          val b = name.stripPrefix(s"$BucketCol=").toInt
-          val fs = Files.list(d)
-          try fs.iterator().forEachRemaining { f =>
-            val fn = f.getFileName.toString
-            if (fn.endsWith(".parquet")) staged += ((s"$relDir/$name/$fn", b))
-          } finally fs.close()
+    Hfs.list(Hfs.path(root, relDir)).foreach { d =>
+      val name = d.getPath.getName
+      if (d.isDirectory && name.startsWith(s"$BucketCol=")) {
+        val b = name.stripPrefix(s"$BucketCol=").toInt
+        Hfs.list(d.getPath).foreach { f =>
+          val fn = f.getPath.getName
+          if (fn.endsWith(".parquet")) staged += ((s"$relDir/$name/$fn", b))
         }
       }
-    } finally dirs.close()
+    }
     staged.toList
   }
 
@@ -1091,7 +1084,6 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     val staged = stagedPaths(relDir)
     if (staged.isEmpty) return Nil
     val bucketByPath = staged.toMap
-    val rootAbs = Paths.get(root).toAbsolutePath.normalize
     // scan exactly the staged file list (reuses the listing above instead
     // of a second directory walk inside the reader); basePath keeps the
     // bkt= partition column resolvable from explicit leaf-file paths
@@ -1102,15 +1094,17 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       .agg(count(lit(1)).as("n"), min(col("_seq")).as("lo"),
         max(col("_seq")).as("hi"))
       .collect() // one row per staged file — bounded per commit
+    // relativize scheme-agnostically: qualify both the root and the
+    // scanned file through the SAME FileSystem, then strip the root
+    // prefix — works for file:, hdfs:, graftmem:, ... alike; a file
+    // outside the root (impossible by construction) fails loudly rather
+    // than manifesting a broken path
+    val rootQ = Hfs.qualified(Hfs.path(root)).toString
     measured.toList.map { r =>
-      val uri = new java.net.URI(r.getString(0))
-      // the relativize below assumes a local path; a non-file scheme must
-      // fail loudly here, not manifest a silently broken path
-      require(uri.getScheme == null || uri.getScheme == "file",
-        s"listStagedMeasured: non-local data file scheme '${uri.getScheme}' " +
-          s"($uri) — icelite manifests are root-relative local paths")
-      val p = Paths.get(uri.getPath).toAbsolutePath.normalize
-      val rel = rootAbs.relativize(p).toString.replace('\\', '/')
+      val fileQ = Hfs.qualified(new HPath(new java.net.URI(r.getString(0)))).toString
+      require(fileQ.startsWith(rootQ + "/"),
+        s"listStagedMeasured: staged file $fileQ is not under table root $rootQ")
+      val rel = fileQ.stripPrefix(rootQ + "/")
       DataFileMeta(rel,
         bucketByPath.getOrElse(rel, r.getInt(1)),
         kind, r.getLong(2), schemaId, r.getLong(3), r.getLong(4))

@@ -114,7 +114,7 @@ object Ingest {
   private[streaming] val LineageSpan = 10000L
 
   private def lineageFile(cfg: Config, batchId: Long, snapshotId: Long) =
-    java.nio.file.Paths.get(cfg.tablePath, "_lineage",
+    graft.plans.Hfs.path(cfg.tablePath, "_lineage",
       s"r=${batchId / LineageSpan * LineageSpan}",
       f"batch-$batchId%09d-$snapshotId%09d.jsonl")
 
@@ -122,26 +122,27 @@ object Ingest {
     * batch against a table written before the `r=` subdirs does not
     * double-write its lineage row. */
   private def legacyLineageFile(cfg: Config, batchId: Long, snapshotId: Long) =
-    java.nio.file.Paths.get(cfg.tablePath, "_lineage",
+    graft.plans.Hfs.path(cfg.tablePath, "_lineage",
       f"batch-$batchId%09d-$snapshotId%09d.jsonl")
 
   private[streaming] def lineageWritten(cfg: Config, batchId: Long,
       snapshotId: Long): Boolean =
-    java.nio.file.Files.exists(lineageFile(cfg, batchId, snapshotId)) ||
-      java.nio.file.Files.exists(legacyLineageFile(cfg, batchId, snapshotId))
+    graft.plans.Hfs.isFile(lineageFile(cfg, batchId, snapshotId)) ||
+      graft.plans.Hfs.isFile(legacyLineageFile(cfg, batchId, snapshotId))
 
   private def writeLineage(cfg: Config, rows: Seq[LineageRow], batchId: Long,
       snapshotId: Long): Unit = {
-    // driver-side JSONL: lineage is a handful of rows per batch, and a
-    // Spark parquet job just to persist them costs a whole fixed-overhead
-    // job per micro-batch (visible in scaling runs)
+    // driver-side JSONL (via the scheme-aware Hfs — rides the table root's
+    // filesystem): lineage is a handful of rows per batch, and a Spark
+    // parquet job just to persist them costs a whole fixed-overhead job
+    // per micro-batch (visible in scaling runs)
     val f = lineageFile(cfg, batchId, snapshotId)
-    java.nio.file.Files.createDirectories(f.getParent)
+    graft.plans.Hfs.mkdirs(f.getParent)
     val json = rows.map(r =>
       s"""{"batch_id":${r.batch_id},"shard":${r.shard},"rows":${r.rows},""" +
       s""""start_seq":${r.start_seq},"end_seq":${r.end_seq},""" +
       s""""snapshot_id":${r.snapshot_id},"wall_ms":${r.wall_ms}}""").mkString("", "\n", "\n")
-    java.nio.file.Files.writeString(f, json)
+    graft.plans.Hfs.write(f, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   def applyBatch(spark: SparkSession, cfg: Config, batchIn: DataFrame, batchId: Long): Icelite.MergeStats = {
@@ -274,8 +275,8 @@ object Ingest {
     val live = spark.read.schema(lineageDdl)
       .option("recursiveFileLookup", "true")
       .json(s"${cfg.tablePath}/_lineage")
-    val rollDir = java.nio.file.Paths.get(cfg.tablePath, "_lineage_rollup")
-    if (java.nio.file.Files.isDirectory(rollDir))
+    val rollDir = graft.plans.Hfs.path(cfg.tablePath, "_lineage_rollup")
+    if (graft.plans.Hfs.isDir(rollDir))
       spark.read.schema(lineageDdl).parquet(rollDir.toString).unionByName(live)
     else live
   }
@@ -291,24 +292,19 @@ object Ingest {
     * see a rolling batch twice — schedule rolls like compaction, not
     * against live readers. Returns the number of files rolled. */
   def rollupLineage(spark: SparkSession, cfg: Config): Int = {
-    val dir = java.nio.file.Paths.get(cfg.tablePath, "_lineage")
-    if (!java.nio.file.Files.isDirectory(dir)) return 0
-    val walk = java.nio.file.Files.walk(dir)
-    val files = try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        java.nio.file.Files.isRegularFile(p) &&
-          n.startsWith("batch-") && n.endsWith(".jsonl")
-      }.toList
-    } finally walk.close()
-    def batchOf(p: java.nio.file.Path): Long =
-      p.getFileName.toString.stripPrefix("batch-").takeWhile(_.isDigit).toLong
+    import graft.plans.Hfs
+    val dir = Hfs.path(cfg.tablePath, "_lineage")
+    if (!Hfs.isDir(dir)) return 0
+    val files = Hfs.listFilesRecursive(dir).map(_.getPath).filter { p =>
+      p.getName.startsWith("batch-") && p.getName.endsWith(".jsonl")
+    }.toList
+    def batchOf(p: org.apache.hadoop.fs.Path): Long =
+      p.getName.stripPrefix("batch-").takeWhile(_.isDigit).toLong
     if (files.isEmpty) return 0
     val maxBatch = files.map(batchOf).max
-    val rollDir = java.nio.file.Paths.get(cfg.tablePath, "_lineage_rollup")
+    val rollDir = Hfs.path(cfg.tablePath, "_lineage_rollup")
     val rolledMax: Long =
-      if (java.nio.file.Files.isDirectory(rollDir))
+      if (Hfs.isDir(rollDir))
         spark.read.schema(lineageDdl).parquet(rollDir.toString)
           .agg(coalesce(max(col("batch_id")), lit(-1L))).head().getLong(0)
       else -1L
@@ -319,13 +315,8 @@ object Ingest {
         .coalesce(1).write.mode("append").parquet(rollDir.toString)
     }
     (stale ++ roll).foreach { p =>
-      java.nio.file.Files.delete(p)
-      val parent = p.getParent
-      if (parent != dir && java.nio.file.Files.isDirectory(parent)) {
-        val ls = java.nio.file.Files.list(parent)
-        val empty = try !ls.iterator().hasNext finally ls.close()
-        if (empty) java.nio.file.Files.delete(parent)
-      }
+      Hfs.delete(p)
+      Hfs.pruneEmptyDirsUpTo(p.getParent, dir)
     }
     roll.size
   }
@@ -370,7 +361,7 @@ object Ingest {
           "idempotence gate will not dedup across writers"
     } else out += "table absent — will be created"
 
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(cfg.checkpointDir, "offsets")))
+    if (graft.plans.Hfs.isDir(graft.plans.Hfs.path(cfg.checkpointDir, "offsets")))
       out += "checkpoint present — stream resumes from recorded offsets"
     else out += "no checkpoint — stream starts from the beginning"
     out.toSeq

@@ -60,7 +60,8 @@ class MemFs extends FileSystem {
     val k = key(f)
     val bytes = files.get(k)
     if (bytes != null)
-      new FileStatus(bytes.length.toLong, false, 1, BlockSize, 0L, qualify(k))
+      new FileStatus(bytes.length.toLong, false, 1, BlockSize,
+        mtimes.getOrDefault(k, 0L), qualify(k))
     else if (isDir(k))
       new FileStatus(0L, true, 1, BlockSize, 0L, qualify(k))
     else throw new FileNotFoundException(s"graftmem: $k")
@@ -116,7 +117,11 @@ class MemFs extends FileSystem {
     new FSDataOutputStream(new java.io.FilterOutputStream(buf) {
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
         buf.write(b, off, len)
-      override def close(): Unit = { super.close(); files.put(k, buf.toByteArray) }
+      override def close(): Unit = {
+        super.close()
+        files.put(k, buf.toByteArray)
+        mtimes.put(k, java.lang.Long.valueOf(System.currentTimeMillis()))
+      }
     }, null)
   }
 
@@ -137,14 +142,19 @@ class MemFs extends FileSystem {
       else dk0
     if (files.containsKey(sk)) {
       if (files.containsKey(dk)) return false
-      files.put(dk, files.remove(sk)); return true
+      files.put(dk, files.remove(sk))
+      Option(mtimes.remove(sk)).foreach(mtimes.put(dk, _))
+      return true
     }
     // directory: rekey every file/dir under sk/
     val prefix = sk + "/"
     val movedFiles = new java.util.ArrayList[String]()
     files.keySet.forEach(fk => if (fk.startsWith(prefix)) movedFiles.add(fk))
-    movedFiles.forEach(fk => files.put(dk + "/" + fk.stripPrefix(prefix),
-      files.remove(fk)))
+    movedFiles.forEach { fk =>
+      val nk = dk + "/" + fk.stripPrefix(prefix)
+      files.put(nk, files.remove(fk))
+      Option(mtimes.remove(fk)).foreach(mtimes.put(nk, _))
+    }
     val movedDirs = new java.util.ArrayList[String]()
     dirs.keySet.forEach(dd =>
       if (dd == sk || dd.startsWith(prefix)) movedDirs.add(dd))
@@ -159,7 +169,7 @@ class MemFs extends FileSystem {
 
   override def delete(f: Path, recursive: Boolean): Boolean = {
     val k = key(f)
-    if (files.remove(k) != null) return true
+    if (files.remove(k) != null) { mtimes.remove(k); return true }
     if (!isDir(k)) return false
     val prefix = if (k == "/") "/" else k + "/"
     val hasChildren = files.keySet.stream.anyMatch(_.startsWith(prefix)) ||
@@ -168,7 +178,7 @@ class MemFs extends FileSystem {
       throw new IOException(s"directory not empty: $k")
     val fks = new java.util.ArrayList[String]()
     files.keySet.forEach(fk => if (fk.startsWith(prefix)) fks.add(fk))
-    fks.forEach(files.remove(_))
+    fks.forEach { fk => files.remove(fk); mtimes.remove(fk) }
     val dks = new java.util.ArrayList[String]()
     dirs.keySet.forEach(dd => if (dd == k || dd.startsWith(prefix)) dks.add(dd))
     dks.forEach(dirs.remove(_))
@@ -200,7 +210,9 @@ object MemFs {
     anchor("graft.test.memfs.files", new ConcurrentHashMap[String, Array[Byte]]())
   val dirs: ConcurrentHashMap[String, java.lang.Boolean] =
     anchor("graft.test.memfs.dirs", new ConcurrentHashMap[String, java.lang.Boolean]())
-  def clear(): Unit = { files.clear(); dirs.clear() }
+  val mtimes: ConcurrentHashMap[String, java.lang.Long] =
+    anchor("graft.test.memfs.mtimes", new ConcurrentHashMap[String, java.lang.Long]())
+  def clear(): Unit = { files.clear(); dirs.clear(); mtimes.clear() }
 
   private class MemInputStream(bytes: Array[Byte]) extends FSInputStream {
     private var pos = 0
