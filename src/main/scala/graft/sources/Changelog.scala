@@ -221,13 +221,30 @@ object Changelog {
   def schemaSidecarPath(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(dir, "_schema.json")
 
+  private def sidecarHPath(dir: String) =
+    graft.plans.Hfs.path(dir, "_schema.json")
+
+  /** Is `dir` a plain local path? (Scheme-less or `file:` — the lock-file
+    * serialization below only exists there.) */
+  private def isLocalDir(dir: String): Boolean =
+    dir.startsWith("/") || {
+      val scheme = scala.util.Try(new java.net.URI(dir).getScheme)
+        .toOption.flatMap(Option(_))
+      scheme.forall(_ == "file")
+    }
+
   /** Read the schema sidecar if present and parseable; a corrupt sidecar
     * reads as None (the footer-merge fallback is the ground truth, so
-    * falling back is safe — unlike a stale-but-parseable one). */
-  def readSchemaSidecar(dir: String): Option[StructType] =
-    if (!java.nio.file.Files.isRegularFile(schemaSidecarPath(dir))) None
-    else scala.util.Try(DataType.fromJson(java.nio.file.Files.readString(
-      schemaSidecarPath(dir))).asInstanceOf[StructType]).toOption
+    * falling back is safe — unlike a stale-but-parseable one). Resolves
+    * the filesystem from the dir's scheme, so a binlog on hdfs:// or an
+    * object-store connector reads the same way. */
+  def readSchemaSidecar(dir: String): Option[StructType] = {
+    val p = sidecarHPath(dir)
+    if (!graft.plans.Hfs.isFile(p)) None
+    else scala.util.Try(DataType.fromJson(new String(
+      graft.plans.Hfs.readBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]).toOption
+  }
 
   /** Widen the sidecar to cover `dataSchema`: shared columns keep the
     * wider type ([[graft.plans.Icelite.canWiden]] — same rules as table
@@ -245,23 +262,36 @@ object Changelog {
     * column (a stale-but-parseable sidecar that [[inferBinlogSchema]]
     * prefers over the footer ground truth). Serialized, widenings
     * compose: the second writer re-reads the first's result. */
-  def writeSchemaSidecar(dir: String, dataSchema: StructType): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val monitor = sidecarMonitors.computeIfAbsent(
-      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
-      _ => new Object)
-    monitor.synchronized {
-      val lockPath = java.nio.file.Paths.get(dir, "_schema.lock")
-      val ch = java.nio.channels.FileChannel.open(lockPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock() // blocks until any other PROCESS releases
-        try writeSchemaSidecarLocked(dir, dataSchema)
-        finally lock.release()
-      } finally ch.close()
+  def writeSchemaSidecar(dir: String, dataSchema: StructType): Unit =
+    if (isLocalDir(dir)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val monitor = sidecarMonitors.computeIfAbsent(
+        java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
+        _ => new Object)
+      monitor.synchronized {
+        val lockPath = java.nio.file.Paths.get(dir, "_schema.lock")
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock() // blocks until any other PROCESS releases
+          try writeSchemaSidecarLocked(dir, dataSchema)
+          finally lock.release()
+        } finally ch.close()
+      }
+    } else {
+      // non-local scheme: no POSIX lock exists. The JVM monitor still
+      // serializes same-process writers (one capture job = the normal
+      // shape); CROSS-process widenings on a remote binlog dir need
+      // external serialization — a stale sidecar can only lose a column
+      // until the next widening writer re-merges, and readers always have
+      // the footer-merge fallback for corrupt/missing sidecars.
+      graft.plans.Hfs.mkdirs(graft.plans.Hfs.path(dir))
+      val monitor = sidecarMonitors.computeIfAbsent(
+        graft.plans.Hfs.qualified(graft.plans.Hfs.path(dir)).toString,
+        _ => new Object)
+      monitor.synchronized { writeSchemaSidecarLocked(dir, dataSchema) }
     }
-  }
 
   private val sidecarMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -289,12 +319,23 @@ object Changelog {
     val merged = StructType(
       all.filterNot(f => partLast.contains(f.name)) ++
         partLast.flatMap(n => all.find(_.name == n)))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val tmp = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get(dir), ".schema", ".tmp")
-    java.nio.file.Files.writeString(tmp, merged.json)
-    java.nio.file.Files.move(tmp, schemaSidecarPath(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (isLocalDir(dir)) {
+      // local: tmp + ATOMIC_MOVE — readers see the old or new sidecar,
+      // never a partial one
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val tmp = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(dir), ".schema", ".tmp")
+      java.nio.file.Files.writeString(tmp, merged.json)
+      java.nio.file.Files.move(tmp, schemaSidecarPath(dir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      // remote scheme: a direct overwrite — object-store PUTs are atomic
+      // per object, and on filesystems where create(overwrite) is not
+      // (HDFS truncate-then-write), a reader catching the window parses
+      // garbage and falls back to the footer merge by contract
+      graft.plans.Hfs.write(sidecarHPath(dir),
+        merged.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 }

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
@@ -21,13 +19,14 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 object Metrics {
 
   class ProgressSink(dir: String, queryName: String) extends StreamingQueryListener {
-    Files.createDirectories(Paths.get(dir))
+    graft.plans.Hfs.mkdirs(graft.plans.Hfs.path(dir))
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
       if (e.progress.name == queryName)
-        Files.write(
-          Paths.get(dir, f"progress-${e.progress.batchId}%09d-${e.progress.id}.json"),
+        graft.plans.Hfs.write(
+          graft.plans.Hfs.path(dir,
+            f"progress-${e.progress.batchId}%09d-${e.progress.id}.json"),
           e.progress.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 

@@ -96,4 +96,37 @@ class RemoteTableSpec extends SparkSpec {
     assert(tR.read().count() === before)
     assert(stateOf(tR.read()) === stateOf(tL.read()))
   }
+
+  test("streaming ingest: remote binlog WAL -> remote table (checkpoint local)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftmem.impl", classOf[MemFs].getName)
+    MemFs.clear()
+    val sf = "/root/testdata/sf0.001"
+    val local = tmpDir("remote-stream")
+    val wal = "graftmem://store/wal"
+
+    // capture side: binlog segments + schema sidecar land on the scheme
+    Changelog.writeBinlog(Changelog.fromEvents(spark, sf), wal,
+      shards = 4, segSize = 250L)
+    assert(Changelog.readSchemaSidecar(wal).isDefined)
+    val keys = {
+      import scala.jdk.CollectionConverters._
+      MemFs.files.keySet.asScala.toSet
+    }
+    assert(keys.contains("/wal/_schema.json"))
+    assert(keys.exists(k => k.startsWith("/wal/shard=") && k.endsWith(".parquet")))
+
+    // ingest side: checkpointed stream tails the remote WAL into a
+    // remote-rooted table; Spark's file-stream source lists the scheme
+    val cfg = Ingest.Config("graftmem://store/tbl2", s"$local/ckpt", "ws",
+      buckets = 4)
+    Ingest.runStream(spark, cfg, wal)
+    val t = Icelite.load(spark, cfg.tablePath)
+    assert(t.read().count() === 270)
+
+    // checkpoint resume over the same remote WAL is a no-op
+    val snapBefore = t.snapshot().snapshotId
+    Ingest.runStream(spark, cfg, wal)
+    assert(t.snapshot().snapshotId === snapBefore)
+  }
 }
