@@ -342,10 +342,16 @@ object Bench {
     // legitimately score higher; the full curve is reported alongside).
     // Same storm policy as the cluster headline (ClusterScaling
     // .MaxPlausibleEfficiency): a ratio above perfect scaling means a
-    // steal storm deflated the LOW leg — the headline key must never
-    // report super-linear, so it clamps at 1.0 and the raw measurement
-    // stays alongside (and in `pairs`) as audit material
-    val (nLow, nHigh, rawEff) = pairs.maxBy(_._3)
+    // steal storm deflated the LOW leg, so such a pair is EXCLUDED from
+    // the selection (not merely clamped — a clamped 1.2 would headline a
+    // fake 1.000 over a genuine 0.75); only when every pair is
+    // storm-invalid does the least-implausible one headline, clamped at
+    // 1.0. Raw measurements stay alongside (and in `pairs`) as audit
+    // material either way.
+    val plausible = pairs.filter(_._3 <=
+      graft.tools.ClusterScaling.MaxPlausibleEfficiency)
+    val (nLow, nHigh, rawEff) =
+      (if (plausible.nonEmpty) plausible else pairs).maxBy(_._3)
     val eff = math.min(1.0, rawEff)
     val thr = Seq(thrByLevel(nLow), thrByLevel(nHigh))
 

@@ -936,17 +936,29 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     def relOf(p: HPath): String =
       Hfs.qualified(p).toString.stripPrefix(rootQ).stripPrefix("/")
     if (deepGc && Hfs.isDir(dataDir)) {
-      val touchedDirs = scala.collection.mutable.LinkedHashSet.empty[HPath]
       Hfs.listFilesRecursive(dataDir).foreach { st =>
         val rel = relOf(st.getPath)
         if (rel.endsWith(".parquet") && !referenced.contains(rel) &&
             st.getModificationTime <= cutoff) {
           Hfs.delete(st.getPath); deleted += 1
-          touchedDirs += st.getPath.getParent
         }
       }
-      // prune emptied dirs bottom-up (virtual on object stores — no-ops)
-      touchedDirs.foreach(d => Hfs.pruneEmptyDirsUpTo(d, dataDir))
+      // deep GC sweeps ALL empty dirs under data/ bottom-up — including
+      // ones a previous run (or a crash between file deletes and dir
+      // prune) left behind, not just this run's parents. Virtual on
+      // object stores — the listing is empty and the loop no-ops.
+      def sweepEmptyDirs(d: HPath): Boolean = { // returns "d is now empty"
+        val children = Hfs.list(d)
+        val (dirs, fs) = children.partition(_.isDirectory)
+        val emptiedAll = dirs.map(c => sweepEmptyDirs(c.getPath))
+          .forall(identity)
+        val empty = fs.isEmpty && emptiedAll
+        if (empty && d != dataDir &&
+            Hfs.qualified(d) != Hfs.qualified(dataDir))
+          Hfs.delete(d, recursive = false)
+        empty
+      }
+      sweepEmptyDirs(dataDir)
     } else if (!deepGc) {
       droppedRefs.filterNot(referenced.contains).foreach { rel =>
         val p = Hfs.path(root, rel)
@@ -1098,8 +1110,11 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     // scanned file through the SAME FileSystem, then strip the root
     // prefix — works for file:, hdfs:, graftmem:, ... alike; a file
     // outside the root (impossible by construction) fails loudly rather
-    // than manifesting a broken path
-    val rootQ = Hfs.qualified(Hfs.path(root)).toString
+    // than manifesting a broken path. stripSuffix("/"): a root at a
+    // scheme's authority root ("hdfs://nn:8020", "graftmem://store")
+    // qualifies WITH a trailing slash, which would otherwise double up
+    // in the prefix and fail every commit.
+    val rootQ = Hfs.qualified(Hfs.path(root)).toString.stripSuffix("/")
     measured.toList.map { r =>
       val fileQ = Hfs.qualified(new HPath(new java.net.URI(r.getString(0)))).toString
       require(fileQ.startsWith(rootQ + "/"),

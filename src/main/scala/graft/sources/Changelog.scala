@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamReader
 import org.apache.spark.sql.types._
 
+import org.apache.hadoop.fs.{Path => HPath}
+
 import graft.model.Model
 
 /** The transcript change stream (binlog/WAL) — derivation + segment layout.
@@ -219,7 +221,7 @@ object Changelog {
   // ------------------------------------------------------------- sidecar
 
   def schemaSidecarPath(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, "_schema.json")
+    localNioPath(dir).resolve("_schema.json")
 
   private def sidecarHPath(dir: String) =
     graft.plans.Hfs.path(dir, "_schema.json")
@@ -232,6 +234,17 @@ object Changelog {
         .toOption.flatMap(Option(_))
       scheme.forall(_ == "file")
     }
+
+  /** The java.nio path of a LOCAL dir. An explicit `file:` URI must strip
+    * its scheme here — `Paths.get("file:///x")` would treat the whole
+    * string as a relative path and the lock/sidecar would land in
+    * `$CWD/file:/x/` while Spark (and [[readSchemaSidecar]], which is
+    * scheme-aware) resolve the real `/x`. */
+  private def localNioPath(dir: String): java.nio.file.Path =
+    if (dir.startsWith("file:"))
+      java.nio.file.Paths.get(
+        new HPath(dir).toUri.getPath) // Hadoop Path normalizes file:/ forms
+    else java.nio.file.Paths.get(dir)
 
   /** Read the schema sidecar if present and parseable; a corrupt sidecar
     * reads as None (the footer-merge fallback is the ground truth, so
@@ -264,12 +277,12 @@ object Changelog {
     * compose: the second writer re-reads the first's result. */
   def writeSchemaSidecar(dir: String, dataSchema: StructType): Unit =
     if (isLocalDir(dir)) {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val nioDir = localNioPath(dir)
+      java.nio.file.Files.createDirectories(nioDir)
       val monitor = sidecarMonitors.computeIfAbsent(
-        java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString,
-        _ => new Object)
+        nioDir.toAbsolutePath.normalize.toString, _ => new Object)
       monitor.synchronized {
-        val lockPath = java.nio.file.Paths.get(dir, "_schema.lock")
+        val lockPath = nioDir.resolve("_schema.lock")
         val ch = java.nio.channels.FileChannel.open(lockPath,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.WRITE)
@@ -322,9 +335,9 @@ object Changelog {
     if (isLocalDir(dir)) {
       // local: tmp + ATOMIC_MOVE — readers see the old or new sidecar,
       // never a partial one
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      val tmp = java.nio.file.Files.createTempFile(
-        java.nio.file.Paths.get(dir), ".schema", ".tmp")
+      val nioDir = localNioPath(dir)
+      java.nio.file.Files.createDirectories(nioDir)
+      val tmp = java.nio.file.Files.createTempFile(nioDir, ".schema", ".tmp")
       java.nio.file.Files.writeString(tmp, merged.json)
       java.nio.file.Files.move(tmp, schemaSidecarPath(dir),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,

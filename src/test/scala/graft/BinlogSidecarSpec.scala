@@ -90,4 +90,22 @@ class BinlogSidecarSpec extends SparkSpec {
     assert(Changelog.inferBinlogSchema(spark, s"${tmpDir("sidecar-empty")}/nope")
       === Changelog.binlogSchema)
   }
+
+  test("an explicit file: URI dir writes and reads the same sidecar as the plain path") {
+    // regression: Paths.get("file:///x") treats the URI as a literal
+    // relative path — the sidecar/lock would land in $CWD/file:/x while
+    // the scheme-aware reader resolves the real /x, so the stream would
+    // silently pay the footer merge forever
+    val plain = s"${tmpDir("sidecar-uri")}/binlog"
+    val asUri = s"file://$plain"
+    Changelog.writeBinlog(ch(Seq(("I", "c1", 0, "a", 1L))), asUri, 2, 10)
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(plain, "_schema.json")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"file:$plain"))) // no $CWD/file:/... litter
+    assert(Changelog.readSchemaSidecar(asUri).isDefined)
+    assert(Changelog.readSchemaSidecar(plain).isDefined)
+    assert(types(Changelog.inferBinlogSchema(spark, asUri))
+      === types(footerMerged(plain)))
+  }
 }

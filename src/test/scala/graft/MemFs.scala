@@ -108,10 +108,20 @@ class MemFs extends FileSystem {
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
     val k = key(f)
-    if (!overwrite && files.containsKey(k))
-      throw new FileAlreadyExistsException(s"graftmem: $k")
     if (isDir(k) && !files.containsKey(k))
       throw new IOException(s"is a directory: $k")
+    if (!overwrite) {
+      // reserve the key ATOMICALLY at create time (not at close): two
+      // racing exclusive creators must see exactly one winner, or the
+      // CommitStore race tests over this scheme would pass vacuously.
+      // The loser of putIfAbsent gets the exclusive-create failure; a
+      // reader racing the winner can observe the empty placeholder —
+      // exactly the documented HadoopCommitStore visibility caveat
+      // (metadata readers treat a parse failure on the latest version
+      // as transient).
+      if (files.putIfAbsent(k, Array.emptyByteArray) != null)
+        throw new FileAlreadyExistsException(s"graftmem: $k")
+    }
     mkdirs(f.getParent, permission)
     val buf = new ByteArrayOutputStream()
     new FSDataOutputStream(new java.io.FilterOutputStream(buf) {

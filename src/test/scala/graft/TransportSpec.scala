@@ -71,4 +71,30 @@ class TransportSpec extends SparkSpec {
       FileIo.writeCsv(df, "graftmem://store/out", TextOptions(), "nonConflict")
     }
   }
+
+  test("exclusive create is atomic: racing creators see exactly one winner") {
+    seed()
+    val fs = new Path("graftmem://store/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path("graftmem://store/race/v1.json")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        barrier.await()
+        try {
+          val out = fs.create(target, /* overwrite = */ false)
+          out.write(s"writer-$i".getBytes("UTF-8")); out.close()
+          wins.incrementAndGet()
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            losses.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() === 1)
+    assert(losses.get() === 7)
+  }
 }
