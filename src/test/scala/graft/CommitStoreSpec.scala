@@ -53,6 +53,39 @@ class CommitStoreSpec extends SparkSpec {
     contract(new HadoopCommitStore())
   }
 
+  test("hadoop store over a remote scheme: concurrent publishers, one winner") {
+    // on file:// the Hadoop store's create(overwrite=false) is
+    // check-then-create (documented); graftmem:// reserves the key
+    // atomically, so THIS backend genuinely exercises the concurrent
+    // half of the contract the remote deployment relies on
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftmem.impl", classOf[MemFs].getName)
+    MemFs.clear()
+    val store = new HadoopCommitStore(spark.sparkContext.hadoopConfiguration)
+    val target = new java.net.URI("graftmem://store/cs/v0000000001.json")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val winners = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        barrier.await()
+        try {
+          store.publishAtomic(target, s"writer-$i".getBytes("UTF-8"))
+          wins.incrementAndGet(); winners.add(i)
+        } catch {
+          case _: Icelite.CommitConflictException => conflicts.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() === 1)
+    assert(conflicts.get() === 7)
+    val got = new String(MemFs.files.get("/cs/v0000000001.json"), "UTF-8")
+    val w = winners.iterator().next()
+    assert(got === s"writer-$w") // the winner's bytes, complete and intact
+  }
+
   test("scheme-based default: local paths take the link store") {
     assert(CommitStore.forRoot("/tmp/x") eq LocalLinkCommitStore)
     assert(CommitStore.forRoot("file:///tmp/x") eq LocalLinkCommitStore)
