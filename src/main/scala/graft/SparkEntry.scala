@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Model
-import graft.operators.{Ann, Dedup, Lww, Multimodal, Skew, TextOps, Transforms}
+import graft.operators.{Ann, Dedup, Lww, Multimodal, Sampling, Skew, Temporal, TextOps, Transforms}
 import graft.plans.Icelite
 import graft.sources.{Changelog, FileIo}
 import graft.streaming.Ingest
@@ -555,6 +555,73 @@ object SparkEntry {
       s.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events")
       s.sql(sqlPassthroughText)
     }),
+
+    // ------------------------------------------------ temporal (events)
+    // as-of join — the operator Spark lacks natively; oracle is DuckDB's
+    // NATIVE ASOF JOIN, so the union-tag + window-carry implementation is
+    // checked against an independent first-class implementation. Right
+    // side deduped to one row per (user_id, ts) by max event_id (the
+    // operator's uniqueness precondition), identically in the oracle.
+    "events_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("ts"),
+          col("m.event_id").as("view_id"), col("m.value").as("view_value"))
+      Temporal.asofJoin(clicks, views, Seq("user_id"), "ts",
+          Seq("view_id", "view_value"))
+        .orderBy("event_id")
+    }),
+
+    // inactivity-gap sessionization (8 h gap) + per-session rollup; the
+    // value sum is integer cents so the total is order-independent
+    "events_sessionize" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      Temporal.sessionStats(
+          Temporal.sessionize(ev, "user_id", "ts", "event_id",
+            gapMicros = 480L * 60L * 1000000L),
+          "user_id", "ts", "value")
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // ------------------------------------------------ sampling (documents)
+    // deterministic hash-rate stratified sample — map-only, reproducible,
+    // engine-portable (md5 arithmetic replayed exactly in the oracle)
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratified(docs(s, dir), "doc_id", "lang",
+          rates = Map("en" -> 37, "zh" -> 11), defaultPct = 23)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // fixed-quota per-stratum sample: exactly min(7, |source|) docs per
+    // source, selected and ranked by deterministic hash order
+    "sample_topn_per_group" -> ((s, dir) =>
+      Sampling.topNPerStratum(docs(s, dir), "doc_id", "source", n = 7)
+        .select("doc_id", "source", "lang", "sample_rank")
+        .orderBy("source", "sample_rank")),
+
+    // ------------------------------------------------ quantization (embeddings)
+    // symmetric int8 quantization; the oracle recomputes the identical
+    // double arithmetic and compares scale exactly plus the quantized
+    // vector via md5-of-joined-values and its L1 mass
+    "embed_quantize" -> ((s, dir) => {
+      val q = Ann.quantizeInt8(embs(s, dir), "embedding")
+      q.select(col("vec_id"), col("scale"),
+          md5(array_join(transform(col("qvec"), x => x.cast("string")), ","))
+            .as("q_hash"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
+        .orderBy("vec_id")
+    }),
+
+    // ------------------------------------------------ vocabulary (documents)
+    // corpus-level top-k bigrams (tokenizer-training frequency pass);
+    // deterministic total order (count desc, ngram asc)
+    "text_topk_ngrams" -> ((s, dir) =>
+      TextOps.topNgrams(docs(s, dir), "text", n = 2, k = 20)
+        .orderBy("rank")),
 
     // ------------------------------------------------ relational smoke
     "docs_by_source" -> ((s, dir) =>
@@ -1170,6 +1237,99 @@ object SparkEntry {
       ORDER BY id_a, id_b""",
 
     "sql_passthrough" -> sqlPassthroughText,
+
+    // the independent first-class implementation: DuckDB's native ASOF
+    // JOIN (inclusive-past, a.ts >= b.ts), over the identically-deduped
+    // right side
+    "events_asof_join" -> """
+      WITH clicks AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'click'),
+      views AS (
+        SELECT user_id, ts, event_id AS view_id, value AS view_value FROM (
+          SELECT user_id, ts, event_id, value,
+            row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'view')
+        WHERE rn = 1)
+      SELECT c.event_id, c.user_id, c.ts, c.value,
+        v.view_id AS asof_view_id, v.view_value AS asof_view_value
+      FROM clicks c ASOF LEFT JOIN views v
+        ON c.user_id = v.user_id AND c.ts >= v.ts
+      ORDER BY c.event_id""",
+
+    // 8 h inactivity gap, microsecond-exact (strict >); cents-sum so the
+    // aggregate is order-independent across engines
+    "events_sessionize" -> """
+      WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM marked)
+      SELECT user_id, session_idx, count(*) AS n_events,
+        min(ts) AS start_ts, max(ts) AS end_ts,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM sess GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx""",
+
+    "sample_stratified" -> """
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE ('0x' || substr(md5('graft' || doc_id::VARCHAR), 1, 15))::BIGINT % 100
+          < CASE lang WHEN 'en' THEN 37 WHEN 'zh' THEN 11 ELSE 23 END
+      ORDER BY doc_id""",
+
+    "sample_topn_per_group" -> """
+      SELECT doc_id, source, lang, sample_rank FROM (
+        SELECT doc_id, source, lang,
+          row_number() OVER (PARTITION BY source
+            ORDER BY ('0x' || substr(md5('graft' || doc_id::VARCHAR), 1, 15))::BIGINT,
+              doc_id) AS sample_rank
+        FROM documents)
+      WHERE sample_rank <= 7
+      ORDER BY source, sample_rank""",
+
+    // identical double arithmetic: maxabs is exact (float abs/max, then
+    // one widening cast), q_i = round(x*127/maxabs) — both engines round
+    // halves away from zero, so q_hash/q_l1/scale match bitwise
+    "embed_quantize" -> """
+      WITH q AS (
+        SELECT vec_id, embedding,
+          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS maxabs
+        FROM embeddings),
+      qq AS (
+        SELECT vec_id, maxabs / 127.0 AS scale,
+          list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN 0
+            ELSE CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs) AS INT) END) AS qvec
+        FROM q)
+      SELECT vec_id, scale,
+        md5(array_to_string(qvec, ',')) AS q_hash,
+        CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS q_l1
+      FROM qq ORDER BY vec_id""",
+
+    // bigram shingles replicated exactly like the 3-gram dedup oracles
+    // (slice t[i+1:i+2], short docs yield their single truncated shingle)
+    "text_topk_ngrams" -> """
+      WITH toks AS (
+        SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      grams AS (
+        SELECT unnest([array_to_string(t[i+1:i+2], ' ')
+                       FOR i IN range(greatest(len(t)-1, 1))]) AS ngram
+        FROM toks),
+      counted AS (
+        SELECT ngram, count(*) AS cnt FROM grams
+        WHERE len(ngram) > 0 GROUP BY ngram)
+      SELECT ngram, cnt, rank FROM (
+        SELECT ngram, cnt,
+          row_number() OVER (ORDER BY cnt DESC, ngram ASC) AS rank
+        FROM counted)
+      WHERE rank <= 20 ORDER BY rank""",
 
     "docs_by_source" -> """
       SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -322,4 +322,26 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× shrink before shipping vectors to an ANN index or a feature
+    * store. Per vector: `scale = max|x| / 127`, `q_i = round(x_i/scale)`
+    * (zero vectors quantize to all-zero, scale 0). Map-only, codegen'd
+    * `transform`, no shuffle — a pure column pipeline at any scale.
+    *
+    * Every step is double-precision with a fixed operation order
+    * (`round(x * 127 / max|x|)`) so quantized values are bitwise
+    * reproducible in the DuckDB oracle (both engines round halves away
+    * from zero). Adds: `scale` (double), `qvec` (array<int>). */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x))).cast("double")
+    df.withColumn("__maxabs", maxAbs)
+      .withColumn("scale", col("__maxabs") / 127.0d)
+      .withColumn("qvec",
+        when(col("__maxabs") === 0.0d,
+          transform(col(vecCol), _ => lit(0)))
+        .otherwise(transform(col(vecCol),
+          x => round(x.cast("double") * 127.0d / col("__maxabs")).cast("int"))))
+      .drop("__maxabs")
+  }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines: rate-based
+  * stratified sampling and fixed-quota per-stratum selection.
+  *
+  * Both key off [[TextOps.portableHash]] of the row id — NOT `rand()` —
+  * so a sample is (a) reproducible run-to-run and engine-to-engine (the
+  * DuckDB oracles replay the identical md5 arithmetic), (b) stable under
+  * repartitioning/retries (a property `rand()` does not have inside a
+  * retried task), and (c) consistent across datasets: any table sampled
+  * with the same id and salt keeps the SAME rows, so joins between
+  * independently-sampled tables still line up — the standard trick for
+  * sampling a fact table and its satellites coherently.
+  *
+  * Scale: [[stratified]] is a map-only filter (no shuffle, pushdown-
+  * friendly); [[topNPerStratum]] is one exchange on the stratum key + an
+  * in-partition top-N — the same cost envelope as a groupBy, with the
+  * rank window bounded per stratum.
+  *
+  * The reference has no sampler (its record semantics are
+  * every-row ETL); this is a training-pipeline extension like
+  * [[TextOps]]/[[Dedup]].
+  */
+object Sampling {
+
+  /** Deterministic per-row sampling key in [0, 100): the portable 60-bit
+    * md5 hash of `salt || id` reduced mod 100. Uniform enough for rate
+    * control; exactly reproducible in SQL. */
+  def samplePct(id: Column, salt: String): Column =
+    pmod(TextOps.portableHash(concat(lit(salt), id.cast("string"))), lit(100L))
+
+  /** Rate-based stratified sample: keep a row iff its [[samplePct]] falls
+    * below the percentage assigned to its stratum (`rates`, in whole
+    * percent; strata not listed fall back to `defaultPct`). Map-only —
+    * the filter is a pure expression on (id, stratum), so it pushes into
+    * the scan and costs zero shuffle at any scale. */
+  def stratified(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Int], defaultPct: Int, salt: String = "graft")
+      : DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct).cast("long")) {
+      case (acc, (stratum, pct)) =>
+        when(col(strataCol) === stratum, lit(pct).cast("long")).otherwise(acc)
+    }
+    df.filter(samplePct(col(idCol), salt) < rate)
+  }
+
+  /** Fixed-quota sample: exactly `min(n, |stratum|)` rows per stratum,
+    * chosen by ascending hash order (deterministic; ties on the 60-bit
+    * hash break by id). One shuffle on the stratum key; the window is a
+    * rank-truncation, so only N rows per stratum survive the stage. */
+  def topNPerStratum(df: DataFrame, idCol: String, strataCol: String,
+      n: Int, salt: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(TextOps.portableHash(concat(lit(salt), col(idCol).cast("string"))),
+        col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+}

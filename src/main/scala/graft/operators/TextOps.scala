@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for a large-scale training-data pipeline: token stats,
@@ -121,5 +122,24 @@ object TextOps {
         .otherwise(a)
     }
     when(best("hits") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Corpus-level top-k n-grams: explode word n-gram shingles of the
+    * normalized text, count, keep the k most frequent with a total
+    * deterministic order (count desc, then n-gram asc — rank ties cannot
+    * flap between runs or engines). The count is a hash aggregation with
+    * map-side partial combine and the top-k is a single-partition
+    * row_number over only the aggregated (distinct-ngram) rows — the
+    * standard vocabulary/frequency pass of a tokenizer-training pipeline,
+    * linear in corpus tokens at any scale. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    val counted = df
+      .select(explode(shingles(tokens(normalize(col(textCol))), n)).as("ngram"))
+      .filter(length(col("ngram")) > 0)
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+    counted
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("ngram").asc)))
+      .filter(col("rank") <= k)
   }
 }

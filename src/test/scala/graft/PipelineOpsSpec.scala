@@ -1,0 +1,194 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Sampling, Temporal, TextOps}
+
+/** Semantics + plan-shape of the temporal/sampling/quantization/vocabulary
+  * pipeline operators added in round 4. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def executed(df: DataFrame): String = {
+    df.write.mode("overwrite").format("noop").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def exchanges(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+
+  // ------------------------------------------------------------ as-of join
+
+  private lazy val trades = Seq(
+    (1L, "k1", ts("2024-01-01 10:00:00"), 100.0),
+    (2L, "k1", ts("2024-01-01 10:05:00"), 101.0),
+    (3L, "k1", ts("2024-01-01 09:00:00"), 99.0), // before any quote
+    (4L, "k2", ts("2024-01-01 10:00:00"), 200.0) // key with no quotes at all
+  ).toDF("id", "k", "t", "px")
+
+  private lazy val quotes = Seq(
+    ("k1", ts("2024-01-01 09:30:00"), 10L),
+    ("k1", ts("2024-01-01 10:00:00"), 20L), // equal ts: inclusive match
+    ("k1", ts("2024-01-01 10:04:00"), 30L)
+  ).toDF("k", "t", "q")
+
+  test("asofJoin: inclusive most-recent-past match, left outer on misses") {
+    val got = Temporal.asofJoin(trades, quotes, Seq("k"), "t", Seq("q"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got === Array(
+      (1L, Some(20L)), // 10:00 matches the equal-ts quote (inclusive)
+      (2L, Some(30L)), // 10:05 matches 10:04
+      (3L, None),      // 09:00 predates every quote
+      (4L, None)))     // no quotes for k2
+  }
+
+  test("asofJoin matches a per-row scan of the right side (property)") {
+    // randomized-but-deterministic inputs; oracle = filter + max per row
+    val left = (1 to 200).map(i =>
+      (i.toLong, s"k${i % 7}", ts(f"2024-01-01 ${i % 24}%02d:${(i * 13) % 60}%02d:00")))
+      .toDF("id", "k", "t")
+    val right = (1 to 60).map(j =>
+      (s"k${j % 7}", ts(f"2024-01-01 ${(j * 5) % 24}%02d:${(j * 29) % 60}%02d:00"), j.toLong))
+      .distinct.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      .toDF("k", "t", "v")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val rs = right.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    left.collect().foreach { l =>
+      val (id, k, t) = (l.getLong(0), l.getString(1), l.getTimestamp(2))
+      val want = rs.filter(r => r._1 == k && !r._2.after(t))
+        .sortBy(r => (r._2.getTime, r._3)).lastOption.map(_._3)
+      assert(got(id) === want, s"id=$id k=$k t=$t")
+    }
+  }
+
+  test("asofJoin plans exactly one exchange (union + single window pass)") {
+    val plan = executed(Temporal.asofJoin(trades, quotes, Seq("k"), "t", Seq("q")))
+    assert(exchanges(plan) === 1, s"expected 1 exchange:\n$plan")
+  }
+
+  // ------------------------------------------------------------ sessionize
+
+  test("sessionize: strict gap split, per-key numbering, deterministic ties") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 10L, ts("2024-01-01 10:20:00"), 2.0), // 20 min ≤ 30 → same session
+      (3L, 10L, ts("2024-01-01 10:50:00"), 3.0), // exactly 30 min → NOT > gap
+      (4L, 10L, ts("2024-01-01 11:25:00"), 4.0), // 35 min → new session
+      (5L, 20L, ts("2024-01-01 10:00:00"), 5.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val s = Temporal.sessionize(ev, "user_id", "ts", "event_id",
+      gapMicros = 30L * 60 * 1000000)
+    val idx = s.orderBy("event_id").collect().map(_.getAs[Long]("session_idx"))
+    assert(idx === Array(1L, 1L, 1L, 2L, 1L))
+    val stats = Temporal.sessionStats(s, "user_id", "ts", "value")
+      .orderBy("user_id", "session_idx").collect()
+    assert(stats.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5))) ===
+      Array((10L, 1L, 3L, 600L), (10L, 2L, 1L, 400L), (20L, 1L, 1L, 500L)))
+    assert(stats(0).getAs[Timestamp]("start_ts") === ts("2024-01-01 10:00:00"))
+    assert(stats(0).getAs[Timestamp]("end_ts") === ts("2024-01-01 10:50:00"))
+  }
+
+  test("sessionize + sessionStats share ONE exchange (window feeds the agg)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val q = Temporal.sessionStats(
+      Temporal.sessionize(ev, "user_id", "ts", "event_id", 1800000000L),
+      "user_id", "ts", "value")
+    val plan = executed(q)
+    assert(exchanges(plan) === 1,
+      s"groupBy(user_id, session_idx) must reuse the window partitioning:\n$plan")
+  }
+
+  // ------------------------------------------------------------ sampling
+
+  private lazy val corpus = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("stratified sample is deterministic and repartition-invariant") {
+    val a = Sampling.stratified(corpus, "doc_id", "lang",
+      Map("en" -> 50), defaultPct = 20).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val b = Sampling.stratified(corpus.repartition(7), "doc_id", "lang",
+      Map("en" -> 50), defaultPct = 20).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && a.length < corpus.count())
+    assert(a === b, "sample must not depend on physical layout")
+    // rate is enforced per stratum (uniform hash ⇒ loose band check)
+    val en = corpus.filter($"lang" === "en").count().toDouble
+    val enKept = Sampling.stratified(corpus, "doc_id", "lang",
+      Map("en" -> 50), defaultPct = 20)
+      .filter($"lang" === "en").count().toDouble
+    assert(enKept / en > 0.25 && enKept / en < 0.75, s"en rate ${enKept / en}")
+  }
+
+  test("stratified sampling keys are consistent across tables (same id ⇒ same verdict)") {
+    val ids = corpus.select($"doc_id", $"lang")
+    val other = corpus.select($"doc_id", $"lang", lit("x").as("extra"))
+    val a = Sampling.stratified(ids, "doc_id", "lang", Map(), 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratified(other, "doc_id", "lang", Map(), 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("topNPerStratum: exact quota, deterministic rank order") {
+    val got = Sampling.topNPerStratum(corpus, "doc_id", "source", n = 5)
+    val perGroup = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = corpus.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) =>
+      assert(perGroup(src) === math.min(5L, n), s"quota broken for $src")
+    }
+    val again = Sampling.topNPerStratum(corpus.repartition(5), "doc_id", "source", 5)
+      .select("doc_id", "sample_rank").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val first = got.select("doc_id", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(first === again)
+  }
+
+  // ------------------------------------------------------------ quantization
+
+  test("quantizeInt8: max maps to ±127, zero vector to zeros, bounded error") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(3.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Ann.quantizeInt8(df, "embedding").orderBy("vec_id").collect()
+    assert(q(0).getAs[Seq[Int]]("qvec") === Seq(64, -127, 32)) // 0.5/1*127=63.5 → 64
+    assert(q(1).getAs[Seq[Int]]("qvec") === Seq(0, 0))
+    assert(q(1).getAs[Double]("scale") === 0.0)
+    assert(q(2).getAs[Seq[Int]]("qvec") === Seq(127))
+    // reconstruction error ≤ scale/2 on every component
+    val r0 = q(0).getAs[Double]("scale")
+    Seq(0.5, -1.0, 0.25).zip(q(0).getAs[Seq[Int]]("qvec")).foreach { case (x, qi) =>
+      assert(math.abs(qi * r0 - x) <= r0 / 2 + 1e-12)
+    }
+  }
+
+  test("quantizeInt8 stays in [-127, 127] over the real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bad = Ann.quantizeInt8(embs, "embedding")
+      .select(explode($"qvec").as("q")).filter(abs($"q") > 127).count()
+    assert(bad === 0L)
+  }
+
+  // ------------------------------------------------------------ vocabulary
+
+  test("topNgrams: exact counts and deterministic tie order") {
+    val docs = Seq("a b a b c", "b c", "Z").toDF("text")
+    val got = TextOps.topNgrams(docs, "text", n = 2, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // bigrams: "a b"×2, "b a"×1, "b c"×2 (one per doc), "z"×1 (short doc)
+    assert(got === Array(("a b", 2L, 1), ("b c", 2L, 2), ("b a", 1L, 3)))
+  }
+}
