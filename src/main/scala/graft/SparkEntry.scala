@@ -616,6 +616,16 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ------------------------------------------------ packing (documents)
+    // token-budget sequence packing (256-token packs, sharded by source so
+    // the running sum parallelizes); integral arithmetic only
+    "doc_pack" -> ((s, dir) =>
+      TextOps.packSequences(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", "source", budget = 256L)
+        .orderBy("source", "doc_id")),
+
     // ------------------------------------------------ vocabulary (documents)
     // corpus-level top-k bigrams (tokenizer-training frequency pass);
     // deterministic total order (count desc, ngram asc)
@@ -1311,6 +1321,23 @@ object SparkEntry {
         md5(array_to_string(qvec, ',')) AS q_hash,
         CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS q_l1
       FROM qq ORDER BY vec_id""",
+
+    // running token offset per source shard; HUGEINT-safe casts so the
+    // window sum compares as BIGINT like the Spark longs
+    "doc_pack" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+          CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM d)
+      SELECT doc_id, source, n_tokens,
+        CAST(cb // 256 AS BIGINT) AS pack_id,
+        CAST(cb % 256 AS BIGINT) AS pack_offset
+      FROM c ORDER BY source, doc_id""",
 
     // bigram shingles replicated exactly like the 3-gram dedup oracles
     // (slice t[i+1:i+2], short docs yield their single truncated shingle)

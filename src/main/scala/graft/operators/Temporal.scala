@@ -101,4 +101,24 @@ object Temporal {
         min(col(timeCol)).as("start_ts"),
         max(col(timeCol)).as("end_ts"),
         sum(round(col(valueCol) * 100).cast("long")).as("value_cents"))
+
+  /** Structured-Streaming counterpart of [[sessionize]]+[[sessionStats]]:
+    * Spark's native `session_window` aggregation, so the same rollup runs
+    * incrementally over an unbounded stream with watermark-driven state
+    * eviction. Boundary nuance vs the batch operator: `session_window`
+    * treats a gap of EXACTLY `gap` as a new session (window end exclusive)
+    * where the batch split is strict-greater — equivalent for every
+    * non-boundary input (pinned by PipelineOpsSpec).
+    *
+    * Scale: state is per (key, open session) and the watermark closes
+    * sessions `watermark` behind the max event time — bounded memory on
+    * an unbounded stream, shuffled once on the grouping key. */
+  def sessionStatsStream(events: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, gap: String, watermark: String): DataFrame =
+    events.withWatermark(timeCol, watermark)
+      .groupBy(col(keyCol), session_window(col(timeCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col(valueCol) * 100).cast("long")).as("value_cents"))
+      .select(col(keyCol), col("session_window.start").as("start_ts"),
+        col("n_events"), col("value_cents"))
 }

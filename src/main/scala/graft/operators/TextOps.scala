@@ -132,6 +132,32 @@ object TextOps {
     * row_number over only the aggregated (distinct-ngram) rows — the
     * standard vocabulary/frequency pass of a tokenizer-training pipeline,
     * linear in corpus tokens at any scale. */
+  /** Token-budget sequence packing — the concatenate-and-split pass that
+    * turns a document corpus into fixed-budget training sequences: within
+    * each shard, documents are laid out in deterministic id order and the
+    * running token offset assigns each document its pack (sequence) id and
+    * byte-0 offset inside that pack. Documents straddling a boundary spill
+    * into the next pack, exactly like a contiguous token stream split
+    * every `budget` tokens.
+    *
+    * Sharded on purpose: the running sum is a window per `shardCol` (one
+    * exchange, in-partition scan), so packing parallelizes across shards
+    * instead of serializing the corpus through one global window — shards
+    * pack independently, which is how distributed packing runs at 100 TB.
+    * Integral arithmetic only (`div`/`pmod`), no float drift. Adds
+    * `pack_id`, `pack_offset`. */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+      shardCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum_before",
+        coalesce(sum(col(nTokensCol).cast("long")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"__cum_before div $budget"))
+      .withColumn("pack_offset", pmod(col("__cum_before"), lit(budget)))
+      .drop("__cum_before")
+  }
+
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     val counted = df
       .select(explode(shingles(tokens(normalize(col(textCol))), n)).as("ngram"))

@@ -181,6 +181,69 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("sessionStatsStream (native session_window) matches batch sessionize off-boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val stream = input.toDF().toDF("user_id", "ts", "value")
+    val q = Temporal.sessionStatsStream(stream, "user_id", "ts", "value",
+        gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_stream").start()
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0), // 10 min < 30 → same session
+      (1L, ts("2024-01-01 10:50:00"), 3.0), // 40 min > 30 → new session
+      (2L, ts("2024-01-01 10:00:00"), 4.0))
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_stream")
+      .select("user_id", "n_events", "value_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Temporal.sessionStats(
+        Temporal.sessionize(rows.toDF("user_id", "ts", "value"),
+          "user_id", "ts", "ts", gapMicros = 30L * 60 * 1000000),
+        "user_id", "ts", "value")
+      .select("user_id", "n_events", "value_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed === Set((1L, 2L, 300L), (1L, 1L, 300L), (2L, 1L, 400L)))
+  }
+
+  // ------------------------------------------------------------ packing
+
+  test("packSequences: contiguous layout, boundary spill, shard independence") {
+    val d = Seq(
+      ("s1", 1L, 100L), ("s1", 2L, 100L), ("s1", 3L, 100L),
+      ("s2", 9L, 300L), ("s2", 10L, 10L)
+    ).toDF("shard", "id", "n_tokens")
+    val got = TextOps.packSequences(d, "id", "n_tokens", "shard", budget = 256L)
+      .orderBy("shard", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got === Array(
+      ("s1", 1L, 0L, 0L), ("s1", 2L, 0L, 100L), ("s1", 3L, 0L, 200L),
+      ("s2", 9L, 0L, 0L), ("s2", 10L, 1L, 44L))) // 300 spills 44 into pack 1
+  }
+
+  test("packSequences plans one exchange and conserves the token stream") {
+    val docs = corpus.select($"doc_id", $"source",
+      size(split($"text", " ")).cast("long").as("n_tokens"))
+    val q = TextOps.packSequences(docs, "doc_id", "n_tokens", "source", 256L)
+    assert(exchanges(executed(q)) === 1)
+    // offset of each doc = cumulative tokens before it, mod budget
+    val rows = q.orderBy("source", "doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (_, ds) =>
+      var cum = 0L
+      ds.foreach { case (_, n, packId, off) =>
+        assert(packId === cum / 256 && off === cum % 256)
+        cum += n
+      }
+    }
+  }
+
   // ------------------------------------------------------------ vocabulary
 
   test("topNgrams: exact counts and deterministic tie order") {
