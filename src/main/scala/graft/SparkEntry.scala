@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Model
-import graft.operators.{Ann, Dedup, Lww, Multimodal, Sampling, Skew, Temporal, TextOps, Transforms}
+import graft.operators.{Ann, Decontam, Dedup, Lww, Multimodal, Sampling, Skew, Temporal, TextOps, Transforms}
 import graft.plans.Icelite
 import graft.sources.{Changelog, FileIo}
 import graft.streaming.Ingest
@@ -625,6 +625,34 @@ object SparkEntry {
             size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
           "doc_id", "n_tokens", "source", budget = 256L)
         .orderBy("source", "doc_id")),
+
+    // ------------------------------------------------ decontam (documents)
+    // benchmark decontamination: docs with doc_id % 37 == 0 stand in for
+    // the held-out eval set; the rest of the corpus is scored against it
+    // (distinct 3-gram overlap fraction, broadcast bench side)
+    "doc_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontam.contamination(
+          d.filter(col("doc_id") % 37 =!= 0),
+          d.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", "text", n = 3, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // ------------------------------------------------ chunking (documents)
+    // overlapping token windows (64-token chunks, stride 32) — map-only
+    "doc_chunks" -> ((s, dir) =>
+      TextOps.chunkTokens(docs(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", size = 64, stride = 32)
+        .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
+        .orderBy("doc_id", "chunk_idx")),
+
+    // ------------------------------------------------ repetition (documents)
+    // Gopher-style per-doc repetition signals — map-only
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(docs(s, dir), "text")
+        .select("doc_id", "dup_token_frac", "top_bigram_frac")
+        .orderBy("doc_id")),
 
     // ------------------------------------------------ vocabulary (documents)
     // corpus-level top-k bigrams (tokenizer-training frequency pass);
@@ -1338,6 +1366,54 @@ object SparkEntry {
         CAST(cb // 256 AS BIGINT) AS pack_id,
         CAST(cb % 256 AS BIGINT) AS pack_offset
       FROM c ORDER BY source, doc_id""",
+
+    // same distinct-3-gram sets as the dedup oracles, train side LEFT
+    // JOINed to the deduped bench shingles; count(b.s) counts hits only
+    "doc_decontam" -> s"""
+      WITH tsh AS (${duckShinglesFrom("(SELECT * FROM documents WHERE doc_id % 37 <> 0)")}),
+      bsh AS (SELECT DISTINCT s FROM
+        (${duckShinglesFrom("(SELECT * FROM documents WHERE doc_id % 37 = 0)")})),
+      agg AS (
+        SELECT id, count(*) AS c, count(b.s) AS h
+        FROM tsh LEFT JOIN bsh b USING (s) GROUP BY 1)
+      SELECT id AS doc_id, CAST(c AS BIGINT) AS n_shingles,
+        CAST(h AS BIGINT) AS n_hit,
+        round(h::DOUBLE / c, 6) AS overlap_ratio,
+        h::DOUBLE / c >= 0.5 AS contaminated
+      FROM agg ORDER BY doc_id""",
+
+    // 1-based inclusive list slices == Spark slice(toks, start, 64);
+    // strided window count via integer ceil, min one chunk per doc
+    "doc_chunks" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      c AS (
+        SELECT doc_id, t,
+          CASE WHEN len(t) <= 64 THEN 1
+               ELSE (len(t) - 64 + 31) // 32 + 1 END AS nc
+        FROM d),
+      e AS (SELECT doc_id, t, unnest(range(nc)) AS i FROM c)
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        array_to_string(t[i*32+1 : i*32+64], ' ') AS chunk_text,
+        CAST(len(t[i*32+1 : i*32+64]) AS INT) AS chunk_tokens
+      FROM e ORDER BY doc_id, chunk_idx""",
+
+    // bigram replication matches text_topk_ngrams; the per-doc mode is the
+    // same O(distinct×n) list fold the Spark expression computes
+    "text_repetition" -> """
+      WITH d AS (
+        SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      b AS (
+        SELECT doc_id, t,
+          [array_to_string(t[i+1:i+2], ' ') FOR i IN range(greatest(len(t)-1, 1))] AS bg
+        FROM d)
+      SELECT doc_id,
+        round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 6) AS dup_token_frac,
+        round(list_max(list_transform(list_distinct(bg),
+            g -> len(list_filter(bg, x -> x = g))))::DOUBLE / len(bg), 6) AS top_bigram_frac
+      FROM b ORDER BY doc_id""",
 
     // bigram shingles replicated exactly like the 3-gram dedup oracles
     // (slice t[i+1:i+2], short docs yield their single truncated shingle)

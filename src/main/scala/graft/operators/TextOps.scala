@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, functions}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -124,14 +124,6 @@ object TextOps {
     when(best("hits") > 0, best("lang")).otherwise(lit("und"))
   }
 
-  /** Corpus-level top-k n-grams: explode word n-gram shingles of the
-    * normalized text, count, keep the k most frequent with a total
-    * deterministic order (count desc, then n-gram asc — rank ties cannot
-    * flap between runs or engines). The count is a hash aggregation with
-    * map-side partial combine and the top-k is a single-partition
-    * row_number over only the aggregated (distinct-ngram) rows — the
-    * standard vocabulary/frequency pass of a tokenizer-training pipeline,
-    * linear in corpus tokens at any scale. */
   /** Token-budget sequence packing — the concatenate-and-split pass that
     * turns a document corpus into fixed-budget training sequences: within
     * each shard, documents are laid out in deterministic id order and the
@@ -158,6 +150,60 @@ object TextOps {
       .drop("__cum_before")
   }
 
+  /** Overlapping token chunking — the long-document split pass (context-
+    * window packing, RAG indexing): each document becomes ceil-strided
+    * windows of `size` tokens starting every `stride` tokens, the last
+    * window possibly short; a document of ≤ `size` tokens yields exactly
+    * one chunk. Adds `chunk_idx`, `chunk_text`, `chunk_tokens`.
+    *
+    * Map-only by construction (explode over a computed index range, no
+    * exchange) — at 100 TB this is a scan that fans out rows in place;
+    * output partitioning inherits the input's. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = tokens(normalize(col(textCol)))
+    val nTok = functions.size(toks)
+    val nChunks = when(nTok <= size, lit(1))
+      .otherwise(expr(s"(size(__toks) - $size + $stride - 1) div $stride") + 1)
+    df.withColumn("__toks", toks)
+      .withColumn("chunk_idx", explode(sequence(lit(0), (nChunks - 1).cast("int"))))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__toks"), col("chunk_idx") * stride + 1, lit(size))))
+      .withColumn("chunk_tokens",
+        functions.size(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(size))))
+      .drop("__toks")
+  }
+
+  /** Per-document repetition signals (the Gopher-rules family of quality
+    * filters): `dup_token_frac` = 1 − distinct/total tokens, and
+    * `top_bigram_frac` = occurrences of the document's most frequent
+    * bigram over its bigram count — high values mark boilerplate/spam.
+    *
+    * Pure per-row Catalyst (map-only, no exchange); the bigram mode is an
+    * O(distinct × n) array fold per document — bounded by document
+    * length, independent of corpus size, so it scales linearly. */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(normalize(col(textCol)))
+    val bg = shingles(t, 2)
+    val topCnt = array_max(transform(array_distinct(bg),
+      d => functions.size(filter(bg, x => x === d))))
+    df.withColumn("dup_token_frac",
+        round(lit(1.0) - functions.size(array_distinct(t)).cast("double")
+          / functions.size(t), 6))
+      .withColumn("top_bigram_frac",
+        round(topCnt.cast("double") / functions.size(bg), 6))
+  }
+
+  /** Corpus-level top-k n-grams: explode word n-gram shingles of the
+    * normalized text, count, keep the k most frequent with a total
+    * deterministic order (count desc, then n-gram asc — rank ties cannot
+    * flap between runs or engines). The count is a hash aggregation with
+    * map-side partial combine and the top-k is a single-partition
+    * row_number over only the aggregated (distinct-ngram) rows — the
+    * standard vocabulary/frequency pass of a tokenizer-training pipeline,
+    * linear in corpus tokens at any scale. */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     val counted = df
       .select(explode(shingles(tokens(normalize(col(textCol))), n)).as("ngram"))

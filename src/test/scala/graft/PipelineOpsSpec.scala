@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Sampling, Temporal, TextOps}
+import graft.operators.{Ann, Decontam, Sampling, Temporal, TextOps}
 
 /** Semantics + plan-shape of the temporal/sampling/quantization/vocabulary
   * pipeline operators added in round 4. */
@@ -242,6 +242,78 @@ class PipelineOpsSpec extends SparkSpec {
         cum += n
       }
     }
+  }
+
+  // ------------------------------------------------------------ decontam
+
+  test("contamination: overlap fractions, zero-hit docs kept, flag threshold") {
+    val train = Seq(
+      (1L, "a b c d e"),   // shingles {abc,bcd,cde}; hits: abc,bcd → 2/3
+      (2L, "x y z w"),     // {xyz,yzw}; 0 hits
+      (3L, "a b c d")      // {abc,bcd}; 2/2 → contaminated
+    ).toDF("doc_id", "text")
+    val bench = Seq("a b c d q").toDF("text") // bench shingles {abc,bcd,cdq}
+    val got = Decontam.contamination(train, bench, "doc_id", "text", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got === Array(
+      (1L, 3L, 2L, 0.666667, true),
+      (2L, 2L, 0L, 0.0, false),
+      (3L, 2L, 2L, 1.0, true)))
+  }
+
+  test("contamination broadcasts the bench side and aggregates once") {
+    val bench = corpus.filter($"doc_id" % 37 === 0)
+    val q = Decontam.contamination(corpus.filter($"doc_id" % 37 =!= 0),
+      bench, "doc_id", "text", "text")
+    val plan = executed(q)
+    assert(plan.contains("BroadcastHashJoin"))
+    // bench-side distinct (small) + per-doc aggregation; the corpus text
+    // itself is never shuffled — the join side it rides is broadcast
+    assert(exchanges(plan) === 2)
+  }
+
+  // ------------------------------------------------------------ chunking
+
+  test("chunkTokens: stride windows, short tail, one chunk for short docs") {
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(d, "doc_id", "text", size = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3), r.getInt(4)))
+    assert(got === Array(
+      (1L, 0, "t1 t2 t3 t4", 4), (1L, 1, "t3 t4 t5 t6", 4),
+      (1L, 2, "t5 t6 t7 t8", 4), (1L, 3, "t7 t8 t9 t10", 4),
+      (2L, 0, "a b", 2)))
+    // every token position is covered by at least one chunk
+    val covered = TextOps.chunkTokens(d, "doc_id", "text", 4, 2)
+      .groupBy("doc_id").agg(sum($"chunk_tokens").as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(covered(1L) >= 10 && covered(2L) >= 2)
+  }
+
+  test("chunkTokens is map-only (no exchange)") {
+    val q = TextOps.chunkTokens(corpus.select($"doc_id", $"text"),
+      "doc_id", "text", 64, 32)
+    assert(exchanges(executed(q)) === 0)
+  }
+
+  // ------------------------------------------------------------ repetition
+
+  test("repetitionStats: duplicate-token and top-bigram fractions") {
+    val d = Seq((1L, "a a a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(d, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    // doc 1: 2 distinct / 4 tokens → dup 0.5; bigrams [a a, a a, a b] → top 2/3
+    assert(got === Array((1L, 0.5, 0.666667), (2L, 0.0, 0.333333)))
+  }
+
+  test("repetitionStats is map-only (no exchange)") {
+    assert(exchanges(executed(TextOps.repetitionStats(corpus, "text")
+      .select("doc_id", "dup_token_frac", "top_bigram_frac"))) === 0)
   }
 
   // ------------------------------------------------------------ vocabulary
