@@ -654,6 +654,33 @@ object SparkEntry {
         .select("doc_id", "dup_token_frac", "top_bigram_frac")
         .orderBy("doc_id")),
 
+    // ------------------------------------------------ mixture (documents)
+    // rebalance three sources to 5:3:2 — the binding source keeps every
+    // row, the rest hash-downsample; corpus is never shuffled
+    "mix_rebalance" -> ((s, dir) =>
+      Sampling.mixture(docs(s, dir), "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    // ------------------------------------------------ redaction (documents)
+    // PII scrub over text with deterministically injected emails/phone
+    // numbers (the synthetic corpus has none); md5 of the redacted text
+    // keeps the result compact
+    "text_redact" -> ((s, dir) =>
+      TextOps.piiStats(
+          docs(s, dir).withColumn("text", concat(col("text"),
+            when(col("doc_id") % 10 === 0,
+              concat(lit(" mail u"), col("doc_id"), lit("@example.com")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" phone 555"), lpad(col("doc_id").cast("string"), 7, "0")))
+              .otherwise(lit("")))),
+          "text")
+        .select(col("doc_id"), col("n_emails"), col("n_longnums"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")),
+
     // ------------------------------------------------ vocabulary (documents)
     // corpus-level top-k bigrams (tokenizer-training frequency pass);
     // deterministic total order (count desc, ngram asc)
@@ -1398,6 +1425,45 @@ object SparkEntry {
         array_to_string(t[i*32+1 : i*32+64], ' ') AS chunk_text,
         CAST(len(t[i*32+1 : i*32+64]) AS INT) AS chunk_tokens
       FROM e ORDER BY doc_id, chunk_idx""",
+
+    // identical double arithmetic: n/w per source, global min, ppm
+    // threshold floor'd to BIGINT; same md5 sampling key as the samplers
+    "mix_rebalance" -> """
+      WITH c AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS n,
+          CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END
+               AS DOUBLE) AS w
+        FROM documents WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+      k AS (SELECT source, n, w, min(n / w) OVER () AS kk FROM c),
+      r AS (SELECT source,
+        CAST(floor(least(kk * w / n, 1.0) * 1000000.0) AS BIGINT) AS thresh FROM k)
+      SELECT doc_id, source, lang, n_chars
+      FROM documents JOIN r USING (source)
+      WHERE ('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 < thresh
+      ORDER BY doc_id""",
+
+    // same injected PII, same RE2-safe patterns (interpolated from
+    // TextOps so Spark and the oracle cannot drift), counts before/after
+    // email redaction exactly like piiStats
+    "text_redact" -> s"""
+      WITH t AS (
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 10 = 0
+               THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END
+          || CASE WHEN doc_id % 7 = 0
+               THEN ' phone 555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+               ELSE '' END AS txt
+        FROM documents),
+      e AS (SELECT doc_id, txt,
+        regexp_replace(txt, '${TextOps.emailRe}', '<EMAIL>', 'g') AS de
+        FROM t)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(txt, '${TextOps.emailRe}')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(de, '${TextOps.longNumRe}')) AS INT) AS n_longnums,
+        md5(regexp_replace(de, '${TextOps.longNumRe}', '<NUM>', 'g')) AS redacted_md5
+      FROM e ORDER BY doc_id""",
 
     // bigram replication matches text_topk_ngrams; the per-doc mode is the
     // same O(distinct×n) list fold the Spark expression computes

@@ -48,6 +48,50 @@ object Sampling {
     df.filter(samplePct(col(idCol), salt) < rate)
   }
 
+  /** Source-mixture rebalancing — downsample an unbalanced corpus to
+    * target source proportions (the "data mixture" pass of a training
+    * pipeline: e.g. 50% web / 30% code / 20% wiki). The largest feasible
+    * corpus respecting the weights keeps EVERY row of the binding
+    * (scarcest-relative-to-weight) source and hash-downsamples the rest:
+    * with per-source counts n_s and weights w_s, the feasible total is
+    * K = min_s(n_s/w_s) and each source keeps at rate K·w_s/n_s ≤ 1.
+    * Weights are RELATIVE (mathematically scale-invariant) and used
+    * unnormalized, so the identical double arithmetic replays in the
+    * oracle. Rows of sources not in `weights` are dropped.
+    *
+    * Keep/drop is the deterministic [[TextOps.portableHash]] of
+    * (salt, id) against a per-source parts-per-million threshold — exact
+    * double arithmetic replicated in the DuckDB oracle, reproducible
+    * under repartitioning and retries, and consistent across tables like
+    * [[stratified]].
+    *
+    * Scale: one map-combined count per source (tiny aggregate), a
+    * |sources|-row rate table broadcast back, then a map-side filter —
+    * the corpus itself is scanned once and never shuffled. The empty
+    * window below runs on |sources| rows only. */
+  def mixture(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], salt: String = "graft"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val sorted = weights.toSeq.sortBy(_._1)
+    val wCol = sorted.tail.foldLeft(lit(sorted.head._2)) {
+      case (acc, (src, w)) => when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    val rates = df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__t", col("__n") / wCol)
+      .withColumn("__k", min(col("__t")).over(Window.partitionBy()))
+      .withColumn("__thresh",
+        floor(least(col("__k") * wCol / col("__n"), lit(1.0)) * 1000000.0)
+          .cast("long"))
+      .select(col(sourceCol), col("__thresh"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(pmod(TextOps.portableHash(
+        concat(lit(salt), col(idCol).cast("string"))), lit(1000000L))
+        < col("__thresh"))
+      .drop("__thresh")
+  }
+
   /** Fixed-quota sample: exactly `min(n, |stratum|)` rows per stratum,
     * chosen by ascending hash order (deterministic; ties on the 60-bit
     * hash break by id). One shuffle on the stratum key; the window is a

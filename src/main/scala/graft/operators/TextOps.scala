@@ -196,6 +196,33 @@ object TextOps {
         round(topCnt.cast("double") / functions.size(bg), 6))
   }
 
+  /** PII patterns shared by [[redactPii]]/[[piiStats]] and the DuckDB
+    * oracle: character-class-only regexes (no backrefs/lookaround) with
+    * identical semantics in Java regex and RE2. */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val longNumRe = "[0-9]{7,}"
+
+  /** PII redaction — the scrubbing pass a training corpus gets before
+    * anything else: emails → `<EMAIL>`, 7+-digit runs (phone/account
+    * numbers) → `<NUM>`. Emails first, so digits inside an address are
+    * not double-counted as numbers. Pure codegen'd `regexp_replace`,
+    * map-only at any scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
+      longNumRe, "<NUM>")
+
+  /** Redaction plus per-document counts: `n_emails` (on the raw text),
+    * `n_longnums` (counted AFTER email redaction, so an address's digits
+    * don't inflate it), and `redacted`. Map-only. */
+  def piiStats(df: DataFrame, textCol: String): DataFrame = {
+    val deEmailed = regexp_replace(col(textCol), emailRe, "<EMAIL>")
+    df.withColumn("n_emails",
+        functions.size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))))
+      .withColumn("n_longnums",
+        functions.size(regexp_extract_all(deEmailed, lit(longNumRe), lit(0))))
+      .withColumn("redacted", regexp_replace(deEmailed, longNumRe, "<NUM>"))
+  }
+
   /** Corpus-level top-k n-grams: explode word n-gram shingles of the
     * normalized text, count, keep the k most frequent with a total
     * deterministic order (count desc, then n-gram asc — rank ties cannot

@@ -244,6 +244,60 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------ mixture
+
+  test("mixture: binding source keeps all rows, others downsample, deterministic") {
+    val d = (1 to 40).map(i => (i.toLong, if (i <= 8) "a" else "b", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    // a: 8 rows w=1 → n/w=8; b: 32 rows w=1 → 32 ⇒ K=8, b keeps at 0.25
+    val got = Sampling.mixture(d, "doc_id", "source", Map("a" -> 1.0, "b" -> 1.0))
+      .select("doc_id", "source").collect()
+    assert(got.count(_.getString(1) == "a") === 8) // binding source intact
+    val bKept = got.count(_.getString(1) == "b")
+    assert(bKept > 0 && bKept < 32)
+    val again = Sampling.mixture(d.repartition(7), "doc_id", "source",
+        Map("a" -> 1.0, "b" -> 1.0))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(again === got.map(_.getLong(0)).sorted)
+  }
+
+  test("mixture plans a broadcast join and never shuffles the corpus") {
+    val w = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val q = Sampling.mixture(corpus, "doc_id", "source", w)
+    val plan = executed(q)
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(exchanges(plan) === 1) // only the tiny per-source count agg
+    val n = corpus.filter($"source".isin(w.keys.toSeq: _*))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = q.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet.subsetOf(w.keySet)) // unlisted sources dropped
+    val binding = n.keys.minBy(s => n(s) / w(s))
+    assert(kept(binding) === n(binding))
+  }
+
+  // ------------------------------------------------------------ redaction
+
+  test("piiStats: exact counts, email digits not double-counted") {
+    val d = Seq(
+      (1L, "write to Bob@Example.com or 12345678 now"),
+      (2L, "a1@b2.org has digits, outside 9999999 too"),
+      (3L, "clean text 123 456")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiStats(d, "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(got === Array(
+      (1L, 1, 1, "write to <EMAIL> or <NUM> now"),
+      (2L, 1, 1, "<EMAIL> has digits, outside <NUM> too"),
+      (3L, 0, 0, "clean text 123 456")))
+  }
+
+  test("piiStats is map-only (no exchange)") {
+    assert(exchanges(executed(TextOps.piiStats(corpus, "text")
+      .select("doc_id", "n_emails", "n_longnums", "redacted"))) === 0)
+  }
+
   // ------------------------------------------------------------ decontam
 
   test("contamination: overlap fractions, zero-hit docs kept, flag threshold") {
