@@ -1427,16 +1427,19 @@ object SparkEntry {
       FROM e ORDER BY doc_id, chunk_idx""",
 
     // identical double arithmetic: n/w per source, global min, ppm
-    // threshold floor'd to BIGINT; same md5 sampling key as the samplers
+    // threshold floor'd to BIGINT; the binding source (n/w = kk) pins to
+    // the full 10^6 exactly like Sampling.mixture; same md5 sampling key
     "mix_rebalance" -> """
       WITH c AS (
         SELECT source, CAST(count(*) AS DOUBLE) AS n,
           CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END
                AS DOUBLE) AS w
         FROM documents WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
-      k AS (SELECT source, n, w, min(n / w) OVER () AS kk FROM c),
+      k AS (SELECT source, n, w, n / w AS t, min(n / w) OVER () AS kk FROM c),
       r AS (SELECT source,
-        CAST(floor(least(kk * w / n, 1.0) * 1000000.0) AS BIGINT) AS thresh FROM k)
+        CASE WHEN t = kk THEN 1000000
+             ELSE CAST(floor(least(kk * w / n, 1.0) * 1000000.0) AS BIGINT)
+        END AS thresh FROM k)
       SELECT doc_id, source, lang, n_chars
       FROM documents JOIN r USING (source)
       WHERE ('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT

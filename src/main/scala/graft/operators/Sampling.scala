@@ -63,7 +63,15 @@ object Sampling {
     * (salt, id) against a per-source parts-per-million threshold — exact
     * double arithmetic replicated in the DuckDB oracle, reproducible
     * under repartitioning and retries, and consistent across tables like
-    * [[stratified]].
+    * [[stratified]]. The binding source's threshold is PINNED to the full
+    * 10^6 (detected by n/w = K exactly) rather than recomputed as
+    * K·w/n — the round trip can land at 0.99999… and floor to 999999,
+    * which would drop ~1-per-million binding rows.
+    *
+    * A `weights` key with NO rows in `df` contributes nothing to K (it
+    * cannot be upsampled; the remaining sources are balanced among
+    * themselves). If the absent source must instead fail the job, assert
+    * its presence upstream — this operator stays a lazy transformation.
     *
     * Scale: one map-combined count per source (tiny aggregate), a
     * |sources|-row rate table broadcast back, then a map-side filter —
@@ -82,8 +90,9 @@ object Sampling {
       .withColumn("__t", col("__n") / wCol)
       .withColumn("__k", min(col("__t")).over(Window.partitionBy()))
       .withColumn("__thresh",
-        floor(least(col("__k") * wCol / col("__n"), lit(1.0)) * 1000000.0)
-          .cast("long"))
+        when(col("__t") === col("__k"), lit(1000000L))
+          .otherwise(floor(least(col("__k") * wCol / col("__n"), lit(1.0))
+            * 1000000.0).cast("long")))
       .select(col(sourceCol), col("__thresh"))
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(pmod(TextOps.portableHash(

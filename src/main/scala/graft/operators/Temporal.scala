@@ -118,7 +118,11 @@ object Temporal {
     events.withWatermark(timeCol, watermark)
       .groupBy(col(keyCol), session_window(col(timeCol), gap))
       .agg(count(lit(1)).as("n_events"),
+        // max event time, NOT session_window.end (that is last event + gap,
+        // end-exclusive) — so end_ts means the same thing as in the batch
+        // rollup above
+        max(col(timeCol)).as("end_ts"),
         sum(round(col(valueCol) * 100).cast("long")).as("value_cents"))
       .select(col(keyCol), col("session_window.start").as("start_ts"),
-        col("n_events"), col("value_cents"))
+        col("end_ts"), col("n_events"), col("value_cents"))
 }

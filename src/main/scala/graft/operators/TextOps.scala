@@ -163,11 +163,10 @@ object TextOps {
       size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
-    val toks = tokens(normalize(col(textCol)))
-    val nTok = functions.size(toks)
+    val nTok = functions.size(col("__toks"))
     val nChunks = when(nTok <= size, lit(1))
       .otherwise(expr(s"(size(__toks) - $size + $stride - 1) div $stride") + 1)
-    df.withColumn("__toks", toks)
+    df.withColumn("__toks", tokens(normalize(col(textCol))))
       .withColumn("chunk_idx", explode(sequence(lit(0), (nChunks - 1).cast("int"))))
       .withColumn("chunk_text",
         concat_ws(" ", slice(col("__toks"), col("chunk_idx") * stride + 1, lit(size))))
@@ -202,25 +201,29 @@ object TextOps {
   val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val longNumRe = "[0-9]{7,}"
 
+  private def deEmail(text: Column): Column =
+    regexp_replace(text, emailRe, "<EMAIL>")
+  private def deNum(text: Column): Column =
+    regexp_replace(text, longNumRe, "<NUM>")
+
   /** PII redaction — the scrubbing pass a training corpus gets before
     * anything else: emails → `<EMAIL>`, 7+-digit runs (phone/account
     * numbers) → `<NUM>`. Emails first, so digits inside an address are
     * not double-counted as numbers. Pure codegen'd `regexp_replace`,
     * map-only at any scale. */
-  def redactPii(text: Column): Column =
-    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
-      longNumRe, "<NUM>")
+  def redactPii(text: Column): Column = deNum(deEmail(text))
 
   /** Redaction plus per-document counts: `n_emails` (on the raw text),
     * `n_longnums` (counted AFTER email redaction, so an address's digits
-    * don't inflate it), and `redacted`. Map-only. */
+    * don't inflate it), and `redacted` (= [[redactPii]], via the same
+    * helpers). Map-only. */
   def piiStats(df: DataFrame, textCol: String): DataFrame = {
-    val deEmailed = regexp_replace(col(textCol), emailRe, "<EMAIL>")
+    val deEmailed = deEmail(col(textCol))
     df.withColumn("n_emails",
         functions.size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))))
       .withColumn("n_longnums",
         functions.size(regexp_extract_all(deEmailed, lit(longNumRe), lit(0))))
-      .withColumn("redacted", regexp_replace(deEmailed, longNumRe, "<NUM>"))
+      .withColumn("redacted", deNum(deEmailed))
   }
 
   /** Corpus-level top-k n-grams: explode word n-gram shingles of the

@@ -200,16 +200,23 @@ class PipelineOpsSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("sess_stream")
-      .select("user_id", "n_events", "value_cents")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .select("user_id", "n_events", "end_ts", "value_cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
     val batch = Temporal.sessionStats(
         Temporal.sessionize(rows.toDF("user_id", "ts", "value"),
           "user_id", "ts", "ts", gapMicros = 30L * 60 * 1000000),
         "user_id", "ts", "value")
-      .select("user_id", "n_events", "value_cents")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .select("user_id", "n_events", "end_ts", "value_cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
     assert(streamed === batch)
-    assert(streamed === Set((1L, 2L, 300L), (1L, 1L, 300L), (2L, 1L, 400L)))
+    assert(streamed === Set(
+      (1L, 2L, ts("2024-01-01 10:10:00"), 300L),
+      (1L, 1L, ts("2024-01-01 10:50:00"), 300L),
+      (2L, 1L, ts("2024-01-01 10:00:00"), 400L)))
   }
 
   // ------------------------------------------------------------ packing
@@ -259,6 +266,29 @@ class PipelineOpsSpec extends SparkSpec {
         Map("a" -> 1.0, "b" -> 1.0))
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(again === got.map(_.getLong(0)).sorted)
+  }
+
+  test("mixture pins the binding source threshold (FP boundary regression)") {
+    // id 819186: md5('graft819186') mod 10^6 == 999999 — the maximal
+    // sampling key. n=2, w=0.09 makes (n/w)*w/n round-trip to
+    // 0.9999999999999999, so an unpinned threshold floors to 999999 and
+    // silently drops this binding-source row.
+    val d = (Seq((819186L, "a"), (819187L, "a")) ++
+      (1 to 30).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val kept = Sampling.mixture(d, "doc_id", "source",
+        Map("a" -> 0.09, "b" -> 0.91))
+      .filter($"source" === "a").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(819186L, 819187L))
+  }
+
+  test("mixture: a weights key absent from the corpus is ignored (documented)") {
+    val d = (1 to 20).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val kept = Sampling.mixture(d, "doc_id", "source",
+      Map("a" -> 1.0, "b" -> 1.0, "ghost" -> 1.0))
+    assert(kept.filter($"source" === "ghost").count() === 0)
+    assert(kept.count() > 0) // present sources still balance among themselves
   }
 
   test("mixture plans a broadcast join and never shuffles the corpus") {
