@@ -1334,8 +1334,9 @@ object SparkEntry {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sess AS (
         SELECT user_id, ts, value,
-          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_idx
         FROM marked)
       SELECT user_id, session_idx, count(*) AS n_events,
         min(ts) AS start_ts, max(ts) AS end_ts,

@@ -230,18 +230,23 @@ object TextOps {
     * normalized text, count, keep the k most frequent with a total
     * deterministic order (count desc, then n-gram asc — rank ties cannot
     * flap between runs or engines). The count is a hash aggregation with
-    * map-side partial combine and the top-k is a single-partition
-    * row_number over only the aggregated (distinct-ngram) rows — the
-    * standard vocabulary/frequency pass of a tokenizer-training pipeline,
-    * linear in corpus tokens at any scale. */
+    * map-side partial combine and the top-k runs as a distributed
+    * `TakeOrderedAndProject` (each partition keeps its local k, the
+    * driver merges k·partitions candidates) — never a single-partition
+    * global sort over every distinct n-gram, which at corpus scale would
+    * funnel billions of rows through one task. Only the ≤k survivors are
+    * then ranked, so the rank window is O(k). The standard
+    * vocabulary/frequency pass of a tokenizer-training pipeline, linear
+    * in corpus tokens at any scale. */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
     val counted = df
       .select(explode(shingles(tokens(normalize(col(textCol))), n)).as("ngram"))
       .filter(length(col("ngram")) > 0)
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
     counted
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("ngram").asc)))
-      .filter(col("rank") <= k)
   }
 }

@@ -410,4 +410,19 @@ class PipelineOpsSpec extends SparkSpec {
     // bigrams: "a b"×2, "b a"×1, "b c"×2 (one per doc), "z"×1 (short doc)
     assert(got === Array(("a b", 2L, 1), ("b c", 2L, 2), ("b a", 1L, 3)))
   }
+
+  test("topNgrams top-k is distributed (TakeOrderedAndProject, no global Window sort)") {
+    val docs = Seq("a b a b c", "b c", "Z").toDF("text")
+    val q = TextOps.topNgrams(docs, "text", n = 2, k = 3)
+    val plan = executed(q)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a distributed TakeOrderedAndProject top-k:\n$plan")
+    // the only Window is the O(k) rank over the ≤k survivors, which must sit
+    // ABOVE the TakeOrderedAndProject — i.e. no unbounded single-partition
+    // sort of all distinct n-grams feeds a Window
+    val winIdx = plan.indexOf("Window")
+    val topIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(winIdx < topIdx,
+      s"rank Window must consume the top-k output, not the full agg:\n$plan")
+  }
 }
