@@ -106,39 +106,29 @@ object IngestMain {
   /** modes that read no binlog dir (maintenance + non-binlog sources) */
   private val NoBinlogModes = MaintenanceModes ++ Set("shards", "kafka")
 
-  /** Build the S10 consume source: `readStream.format("kafka")` plus the
-    * [[graft.sources.KafkaShape.changeEvents]] value shaping (the exact
-    * projection the broker-less contract test drives end-to-end). Where
-    * the connector jar is absent — Spark ships it as a separate artifact,
-    * and this sandbox is offline — the lookup fails at `load()`; rethrow
-    * with the actionable fix instead of a bare class-not-found. */
-  def kafkaSource(spark: SparkSession, kv: Map[String, String]): org.apache.spark.sql.DataFrame = {
+  /** Build the S10 consume source config from CLI args — the executable
+    * pipeline itself lives in [[graft.sources.KafkaIo]] (capability-
+    * detected: offline it fails fast with the actionable connector-jar
+    * fix; on a cluster it builds the real `readStream.format("kafka")`).
+    * The option assembly is pure data so specs pin the exact wiring —
+    * subscribe, startingOffsets, maxOffsetsPerTrigger — without a broker. */
+  def kafkaSourceConfig(kv: Map[String, String]): graft.sources.KafkaIo.SourceConfig = {
     def req(k: String) = kv.getOrElse(k,
       throw new IllegalArgumentException(s"mode=kafka needs $k=<value>"))
-    val raw =
-      try spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", req("brokers"))
-        .option("subscribe", req("topic"))
-        .option("startingOffsets", kv.getOrElse("startingOffsets", "earliest"))
-        .load()
-      catch {
-        case e: Exception if e.getMessage != null &&
-            (e.getMessage.contains("DATA_SOURCE_NOT_FOUND") ||
-             e.getMessage.contains("Failed to find the data source") ||
-             e.getMessage.contains("Failed to find data source")) =>
-          throw new IllegalStateException(
-            "mode=kafka needs the Kafka connector jar on the classpath — " +
-              "run under spark-submit --packages " +
-              "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> " +
-              "(it is not bundled with Spark and this environment is offline); " +
-              "the parse/gate/merge chain itself is broker-independent and " +
-              "covered by the MemoryStream contract test", e)
-      }
-    graft.sources.KafkaShape.changeEvents(raw,
+    graft.sources.KafkaIo.SourceConfig(
+      brokers = req("brokers"),
+      topic = req("topic"),
+      startingOffsets = kv.getOrElse("startingOffsets", "earliest"),
+      maxOffsetsPerTrigger = kv.get("maxOffsetsPerTrigger").map(_.toLong))
+  }
+
+  /** The shaped consume source: raw topic tail → typed change events (the
+    * exact projection the broker-less contract test drives end-to-end). */
+  def kafkaSource(spark: SparkSession, kv: Map[String, String]): org.apache.spark.sql.DataFrame =
+    graft.sources.KafkaIo.changeStream(spark, kafkaSourceConfig(kv),
       kv.getOrElse("kafkaParse", "split"),
       kv.getOrElse("kafkaDelimiter", "\u0001"),
       kv.getOrElse("kafkaPattern", ""))
-  }
 
   def main(args: Array[String]): Unit = {
     val kv = parse(args)

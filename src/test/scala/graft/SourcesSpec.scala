@@ -159,6 +159,55 @@ class SourcesSpec extends SparkSpec {
     assert(r.getString(2) === "2.5" && r.isNullAt(3))
   }
 
+  test("jdbc execution: splitPk scan round-trips rows against an embedded Derby DB (S1)") {
+    // a REAL in-JVM JDBC engine (Derby ships on Spark's classpath for the
+    // Hive metastore) closes the execution seam: the assembled predicates
+    // actually run server-side, one Spark partition per slice
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE turns (pk BIGINT, conv VARCHAR(16), body BLOB)")
+      val ins = conn.prepareStatement("INSERT INTO turns VALUES (?, ?, ?)")
+      (0L until 100L).foreach { i =>
+        ins.setLong(1, i * 3); ins.setString(2, s"c$i")
+        ins.setBytes(3, s"m$i".getBytes("UTF-8")); ins.executeUpdate()
+      }
+      // a NULL-pk row must survive via the catch-all slice
+      st.execute("INSERT INTO turns VALUES (NULL, 'orphan', NULL)")
+
+      val spec = Jdbc.Spec(url, "turns", "pk", slices = 4)
+      val scanned = Jdbc.scan(spark, spec) // bounds discovered via minMaxSql
+      assert(scanned.rdd.getNumPartitions === 5) // 4 ranges + pk IS NULL
+      assert(scanned.count() === 101)
+      val got = scanned.collect().map(r =>
+        (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getString(1))).toSet
+      assert(got.contains((Some(297L), "c99")) && got.contains((None, "orphan")))
+
+      // the all-strings wire shape over REAL jdbc-decoded cells (S2):
+      // Derby BLOB arrives as BinaryType and must render as Base64
+      val wire = Jdbc.decodeAllStrings(scanned.filter("pk = 0")).head()
+      assert(wire.getString(0) === "0")
+      assert(wire.getString(2) ===
+        java.util.Base64.getEncoder.encodeToString("m0".getBytes("UTF-8")))
+
+      // querySql passthrough executes server-side as a derived table
+      val q = Jdbc.scanQuery(spark, url,
+        "SELECT conv, pk FROM turns WHERE pk >= 150")
+      assert(q.count() === 50 && q.columns.toSeq === Seq("CONV", "PK"))
+
+      // pushdown reaches the database: a pk filter prunes before Spark
+      val pruned = Jdbc.scan(spark, spec.copy(where = Some("pk < 30")))
+      assert(pruned.count() === 10)
+    } finally {
+      conn.close()
+      // drop the in-memory db so reruns in the same JVM start clean
+      try java.sql.DriverManager.getConnection(
+        "jdbc:derby:memory:graftjdbc;drop=true")
+      catch { case _: java.sql.SQLException => () } // drop "fails" by design
+    }
+  }
+
   test("kafka produce render: key + delimited value, nulls as nullFormat (W11)") {
     val df = Seq(("c1", 0, "hello", null.asInstanceOf[String]),
       ("c2", 1, "world", "t")).toDF("conv_id", "turn_idx", "text", "tool")
@@ -199,6 +248,65 @@ class SourcesSpec extends SparkSpec {
       1 -> "mapper_parsing_exception: bad field", 2 -> "status 404"))
     assert(EsShape.bulkItemErrors("""{"took":1,"errors":false,"items":[
       {"index":{"_id":"1","status":200}}]}""") === Seq.empty)
+  }
+
+  // --------------------------------------------------- kafka executable IO
+
+  test("KafkaIo reader options: subscribe, offsets, throttle wired exactly (S10)") {
+    import graft.sources.KafkaIo
+    val cfg = KafkaIo.SourceConfig("b1:9092,b2:9092", "transcript-cdc",
+      startingOffsets = """{"transcript-cdc":{"0":42}}""",
+      maxOffsetsPerTrigger = Some(500000L),
+      extra = Map("kafka.group.id" -> "graft-ingest"))
+    val o = cfg.options
+    assert(o("kafka.bootstrap.servers") === "b1:9092,b2:9092")
+    assert(o("subscribe") === "transcript-cdc")
+    assert(o("startingOffsets") === """{"transcript-cdc":{"0":42}}""")
+    assert(o("maxOffsetsPerTrigger") === "500000")
+    assert(o("failOnDataLoss") === "false")
+    assert(o("kafka.group.id") === "graft-ingest")
+    // throttle omitted entirely when unset (Kafka source rejects blanks)
+    assert(!KafkaIo.SourceConfig("b", "t").options.contains("maxOffsetsPerTrigger"))
+    val sink = KafkaIo.SinkConfig("b1:9092", "out-topic").options
+    assert(sink("topic") === "out-topic")
+    assert(sink("kafka.bootstrap.servers") === "b1:9092")
+  }
+
+  test("KafkaIo CLI config: IngestMain kv args reach the reader options") {
+    val cfg = graft.tools.IngestMain.kafkaSourceConfig(Map(
+      "brokers" -> "k1:9092", "topic" -> "cdc",
+      "startingOffsets" -> "latest", "maxOffsetsPerTrigger" -> "250000"))
+    assert(cfg.options("subscribe") === "cdc")
+    assert(cfg.options("startingOffsets") === "latest")
+    assert(cfg.options("maxOffsetsPerTrigger") === "250000")
+    intercept[IllegalArgumentException] {
+      graft.tools.IngestMain.kafkaSourceConfig(Map("brokers" -> "k1:9092"))
+    }
+  }
+
+  test("KafkaIo offline: fails fast with the connector-jar fix, no bare lookup error") {
+    import graft.sources.KafkaIo
+    assume(!KafkaIo.connectorAvailable,
+      "connector on classpath: executable path active, offline guard untestable")
+    val e = intercept[IllegalStateException] {
+      KafkaIo.readStream(spark, KafkaIo.SourceConfig("b:9092", "t"))
+    }
+    assert(e.getMessage.contains("spark-sql-kafka"))
+    intercept[IllegalStateException] {
+      KafkaIo.writeBatch(Seq(("k", "v")).toDF("key", "value"),
+        KafkaIo.SinkConfig("b:9092", "t"))
+    }
+  }
+
+  test("KafkaIo online: builds the real format(\"kafka\") pipeline when the jar exists") {
+    import graft.sources.KafkaIo
+    assume(KafkaIo.connectorAvailable, "connector jar absent (offline sandbox) — skip")
+    // construction only — no broker contact until .start(); the analyzed
+    // plan must expose Kafka's record schema
+    val raw = KafkaIo.readStream(spark, KafkaIo.SourceConfig("b:9092", "t"))
+    assert(raw.isStreaming)
+    assert(raw.schema.fieldNames.toSet.intersect(
+      Set("key", "value", "topic", "partition", "offset")).size === 5)
   }
 
   // ------------------------------------------------------------ kafka shape
