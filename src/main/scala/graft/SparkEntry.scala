@@ -386,6 +386,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // dx_groovy parity driven from pure config text: the chain argument
+    // IS code (a Java method body Janino-compiled per executor), arriving
+    // through the same registry parse a job config uses — filter (return
+    // null) + in-place rewrite, the two GroovyTransformer verbs
+    "etl_scripted" -> ((s, dir) =>
+      graft.operators.TransformerRegistry.applyChain(docs(s, dir),
+        "dx_script(" +
+          "if (((Long) record[4]).longValue() < 200L) return null; " +
+          "record[2] = ((String) record[2]).toUpperCase(java.util.Locale.ROOT); " +
+          "return record;)")
+        .orderBy("doc_id")),
+
     "src_orc_roundtrip" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
       val tmp = Files.createTempDirectory("graft-orc").toString
@@ -585,6 +597,35 @@ object SparkEntry {
             gapMicros = 480L * 60L * 1000000L),
           "user_id", "ts", "value")
         .orderBy("user_id", "session_idx")
+    }),
+
+    // the SAME rollup as an actual Structured Streaming run: native
+    // session_window + watermark drained through a memory sink — the
+    // incremental twin a topic tail would execute, oracled against the
+    // stream's boundary semantics (gap of EXACTLY 8 h starts a new
+    // session, end-exclusive, vs the batch operator's strict-greater)
+    "events_sessionize_stream" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file-stream source tails DIRECTORIES; stage the single-file
+      // table as a hardlink (no copy) the way a real feed would land files
+      val feedDir = Files.createTempDirectory("graft-sess-feed")
+      val link = feedDir.resolve("events.parquet")
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      try Files.createLink(link, src)
+      catch { case _: Exception => Files.copy(src, link) } // cross-device
+
+      val stream = s.readStream.schema(schema)
+        .parquet(feedDir.toString)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("value"))
+      val q = Temporal.sessionStatsStream(stream, "user_id", "ts", "value",
+          gap = "8 hours", watermark = "0 seconds")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_sess_stream").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_sess_stream")
+        .select("user_id", "start_ts", "end_ts", "n_events", "value_cents")
+        .orderBy("user_id", "start_ts")
     }),
 
     // ------------------------------------------------ sampling (documents)
@@ -980,6 +1021,12 @@ object SparkEntry {
       WHERE NOT coalesce(user_id <= 50, false)
       ORDER BY event_id""",
 
+    // the scripted transform's two verbs replayed declaratively: the
+    // n_chars guard is the return-null drop, upper(lang) the slot rewrite
+    "etl_scripted" -> """
+      SELECT doc_id, text, upper(lang) AS lang, source, n_chars
+      FROM documents WHERE n_chars >= 200 ORDER BY doc_id""",
+
     // TRY_CAST: a non-numeric k must become null (= the Spark cast
     // semantics) rather than abort the oracle query
     "etl_dirty_gate" -> """
@@ -1343,6 +1390,30 @@ object SparkEntry {
         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       FROM sess GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx""",
+
+    // the streaming twin's boundary rule: session_window closes at
+    // last_event + gap EXCLUSIVE, so a gap of exactly 8 h splits (>=,
+    // where the batch rule above is strict >); no tie column — membership
+    // and the aggregates are order-independent within equal timestamps
+    "events_sessionize_stream" -> """
+      WITH marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 28800000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, value,
+          CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_idx
+        FROM marked)
+      SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+        count(*) AS n_events,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM sess GROUP BY user_id, session_idx
+      ORDER BY user_id, start_ts""",
 
     "sample_stratified" -> """
       SELECT doc_id, lang, source, n_chars FROM documents

@@ -50,6 +50,12 @@ object TransformerRegistry {
     // it beats a script engine at every scale
     "dx_expr" -> Entry(2, { case Seq(target, sql) => df =>
       df.withColumn(target, expr(sql)) }),
+    // dx_groovy parity: the argument IS code (a Java method body over
+    // Object[] record, compiled by Janino per executor — see
+    // [[ScriptedTransform]]); return null to drop the row. Last-arg
+    // verbatim parsing means the body needs no comma escaping.
+    "dx_script" -> Entry(1, { case Seq(body) => df =>
+      ScriptedTransform.transform(df, body) }),
     "dx_url2base64" -> Entry(1, { case Seq(c) => df =>
       Transforms.urlToBase64(df, c) }))
 

@@ -6,10 +6,11 @@ import graft.model.Model.ChangeEvent
 import graft.plans.{CommitStore, HadoopCommitStore, Icelite, LocalLinkCommitStore}
 import graft.streaming.Ingest
 
-/** The pluggable atomic-commit seam (round-4 verdict item 1): both shipped
-  * stores uphold the exclusive-create contract, the deterministic commit
-  * race passes under BOTH (the local default and the Hadoop FileSystem
-  * impl), and the class-name extension point loads a user store. */
+/** The pluggable atomic-commit seam (round-4 verdict item 1): all three
+  * shipped stores — local hard-link, Hadoop exclusive-create, and the
+  * conditional-put CAS exemplar — uphold the exclusive-create contract,
+  * the deterministic commit race passes under each, and the class-name
+  * extension point loads a user store. */
 class CommitStoreSpec extends SparkSpec {
   import spark.implicits._
 
@@ -51,6 +52,38 @@ class CommitStoreSpec extends SparkSpec {
 
   test("hadoop store upholds the exclusive-create contract") {
     contract(new HadoopCommitStore())
+  }
+
+  test("CAS store (exclusive-create backend) upholds the contract") {
+    contract(new graft.plans.CasCommitStore())
+  }
+
+  test("CAS store over the in-memory object store: concurrent publishers, one winner") {
+    // the conditional-put fake is strictly all-or-nothing — this exercises
+    // the exact API shape an S3/GCS/OSS adapter would provide
+    val backend = new graft.plans.InMemoryCasBackend()
+    val store = new graft.plans.CasCommitStore(backend)
+    val target = new java.net.URI("s3-fake://bucket/t/v0000000001.json")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val winners = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        barrier.await()
+        try {
+          store.publishAtomic(target, s"writer-$i".getBytes("UTF-8"))
+          wins.incrementAndGet(); winners.add(i)
+        } catch {
+          case _: Icelite.CommitConflictException => conflicts.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() === 1)
+    assert(conflicts.get() === 7)
+    val got = new String(backend.objects.get(target.toString), "UTF-8")
+    assert(got === s"writer-${winners.iterator().next()}")
   }
 
   test("hadoop store over a remote scheme: concurrent publishers, one winner") {
@@ -109,11 +142,11 @@ class CommitStoreSpec extends SparkSpec {
     } finally System.clearProperty(CommitStore.SelectProp)
   }
 
-  test("commit race: merge rebases over concurrent compaction under BOTH stores") {
-    for (storeSel <- Seq("local", "hadoop")) {
+  test("commit race: merge rebases over concurrent compaction under ALL THREE stores") {
+    for (storeSel <- Seq("local", "hadoop", classOf[graft.plans.CasCommitStore].getName)) {
       System.setProperty(CommitStore.SelectProp, storeSel)
       try {
-        val root = tmpDir(s"csrace-$storeSel")
+        val root = tmpDir(s"csrace-${storeSel.replace('.', '_')}")
         val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
           opts = Icelite.Options(compactThreshold = 100))
         Ingest.replay(spark, cfg, Seq(batchOf(

@@ -36,7 +36,19 @@ class MultiWriterRaceSpec extends SparkSpec {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   test("two real JVMs (ingest + compaction) interleave commits exactly-once") {
-    val root = tmpDir("race")
+    raceRound(None)
+  }
+
+  test("two real JVMs race under the conditional-put CAS store") {
+    // same interleaving, but every snapshot publish in BOTH child JVMs
+    // goes through the object-store-shaped conditional put (the
+    // exclusive-create backend is the cross-process CAS over the shared
+    // mount) — proves the seam swap changes nothing about exactly-once
+    raceRound(Some(classOf[graft.plans.CasCommitStore].getName))
+  }
+
+  private def raceRound(storeSel: Option[String]): Unit = {
+    val root = tmpDir(s"race${storeSel.map(_ => "-cas").getOrElse("")}")
     val rounds = 4
     val ch = Gen.changelog(spark, Gen.GenConfig(events = 4000, convs = 40)).cache()
     Changelog.writeBinlog(ch, s"$root/binlog", shards = 2, segSize = 250)
@@ -46,7 +58,9 @@ class MultiWriterRaceSpec extends SparkSpec {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
     val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
     def spawn(role: String, extra: Seq[String]): Process = {
-      val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx3g",
+      val cmd = Seq(javaBin) ++ addOpens ++
+        storeSel.map(c => s"-D${graft.plans.CommitStore.SelectProp}=$c").toSeq ++
+        Seq("-Xmx3g",
         "-cp", s"$classes:/opt/spark/jars/*", "graft.tools.RaceHarness",
         s"role=$role", s"table=$root/t", s"barriers=$barriers",
         s"rounds=$rounds") ++ extra

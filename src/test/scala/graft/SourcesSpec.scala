@@ -627,6 +627,37 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("dx_script compiles config text into a record transform (GroovyTransformer parity)") {
+    import graft.operators.{ScriptedTransform, TransformerRegistry}
+    val df = Seq((1L, "keep me", 10L), (2L, "drop me", 3L), (3L, null, 99L))
+      .toDF("id", "text", "n")
+    // filter (return null) + in-place rewrite + null-safe slot access,
+    // all from ONE config string through the normal registry parse
+    val out = TransformerRegistry.applyChain(df,
+      "dx_script(" +
+        "if (((Long) record[2]).longValue() < 5L) return null; " +
+        "record[1] = record[1] == null ? \"<null>\" : ((String) record[1]).toUpperCase(java.util.Locale.ROOT); " +
+        "return record;)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "KEEP ME"), (3L, "<null>")))
+
+    // schema is preserved by contract
+    val shaped = ScriptedTransform.transform(df, "return record;")
+    assert(shaped.schema === df.schema)
+    assert(shaped.count() === 3)
+
+    // syntax errors fail at assembly time, before any executor sees them
+    intercept[Exception] {
+      ScriptedTransform.transform(df, "this is not java")
+    }
+    // wrong-arity return fails the task with a clear message
+    val bad = ScriptedTransform.transform(df, "return new Object[] { record[0] };")
+    val e = intercept[Exception] { bad.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("slots")))
+  }
+
   test("registerClass loads a NamedTransform reflectively (user-jar analogue)") {
     import graft.operators.TransformerRegistry
     TransformerRegistry.registerClass("dx_suffix",
