@@ -44,6 +44,20 @@ object SparkEntry {
     uniq.join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** [[corpusKept]] + the semantic near-dup stage (corpus_prep_v2's body,
+    * shared with corpus_prep_v3): the lexical survivors' embeddings go
+    * through LSH-blocked cosine pairing (banded equi-join, never
+    * all-pairs) and connected components keep one doc per cluster. */
+  private def corpusKeptV2(s: SparkSession, dir: String): DataFrame = {
+    val kept = corpusKept(s, dir)
+    val vecs = embs(s, dir).join(kept.select(col("doc_id")),
+      col("vec_id") === col("doc_id"), "left_semi")
+    val semPairs = Ann.lshCosinePairs(vecs, "vec_id", "embedding", 0.4)
+    val semDrops = Dedup.clusters(semPairs)
+      .filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
+    kept.join(semDrops, Seq("doc_id"), "left_anti")
+  }
+
   /** Flagship: full CDC replay (changelog → binlog → LWW merge → icelite
     * snapshot table) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -297,6 +311,33 @@ object SparkEntry {
       FileIo.readCsv(s, s"$tmp/events_csv", ev.schema, o).orderBy("event_id")
     }),
 
+    // .zip text scan (reference S3/S4 compression list): write a
+    // zip-compressed CSV through the codec, then read it back via the
+    // standard extension→codec lookup — plus a hand-built MULTI-entry
+    // archive to pin the reference's entry-concatenation semantics
+    "src_zip_roundtrip" -> ((s, dir) => {
+      FileIo.registerZipCodec(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val tmp = Files.createTempDirectory("graft-zip").toString
+      val o = FileIo.TextOptions(delimiter = "\t", header = false,
+        compress = Some("zip"))
+      FileIo.writeCsv(ev.filter(col("event_id") % 2 === 0),
+        s"$tmp/ev_zip", o)
+      // the odd half goes into ONE archive holding two entries
+      val odd = ev.filter(col("event_id") % 2 === 1)
+      val csvTmp = s"$tmp/ev_csv"
+      FileIo.writeCsv(odd, csvTmp, o.copy(compress = None))
+      val parts = new java.io.File(csvTmp).listFiles()
+        .filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+      val zf = new java.util.zip.ZipOutputStream(
+        Files.newOutputStream(java.nio.file.Paths.get(s"$tmp/ev_zip/odd.zip")))
+      try parts.zipWithIndex.foreach { case (f, i) =>
+        zf.putNextEntry(new java.util.zip.ZipEntry(s"entry-$i.csv"))
+        Files.copy(f.toPath, zf); zf.closeEntry()
+      } finally zf.close()
+      FileIo.readCsv(s, s"$tmp/ev_zip", ev.schema, o).orderBy("event_id")
+    }),
+
     "src_jsonl_roundtrip" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
       val tmp = Files.createTempDirectory("graft-jsonl").toString
@@ -507,16 +548,56 @@ object SparkEntry {
     // equi-join, never all-pairs) and connected-components keeps one doc
     // per semantic cluster. Deterministic end to end (md5-derived
     // hyperplanes), so the oracle replicates buckets and cosines exactly.
-    "corpus_prep_v2" -> ((s, dir) => {
-      val kept = corpusKept(s, dir)
-      val vecs = embs(s, dir).join(kept.select(col("doc_id")),
-        col("vec_id") === col("doc_id"), "left_semi")
-      val semPairs = Ann.lshCosinePairs(vecs, "vec_id", "embedding", 0.4)
-      val semDrops = Dedup.clusters(semPairs)
-        .filter(col("id") =!= col("cluster")).select(col("id").as("doc_id"))
-      kept.join(semDrops, Seq("doc_id"), "left_anti")
+    "corpus_prep_v2" -> ((s, dir) =>
+      corpusKeptV2(s, dir)
         .select("doc_id", "source", "lang_pred", "quality", "n_tokens")
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // v2 + the post-dedup stages a production training pipeline runs:
+    // benchmark-decontamination gate (the held-out eval set doc_id%37==0
+    // never trains AND near-copies of it are dropped) → source-mixture
+    // rebalance (5:3:2) → PII redaction → 64/32 overlapping chunking of
+    // the REDACTED text → 256-token sequence packing per source shard.
+    // Every stage is a hash agg, broadcast join, or map-only transform;
+    // the only window is the per-shard packing sum — one exchange
+    // (PipelineOpsSpec pins the composition's exchange count).
+    "corpus_prep_v3" -> ((s, dir) => {
+      val kept = corpusKeptV2(s, dir) // carries text through the chain
+      // 1. decontam: corpus = survivors minus the eval set itself, then
+      //    minus docs whose distinct-3-gram overlap with the bench ≥ 0.5
+      val corpus = kept.filter(col("doc_id") % 37 =!= 0)
+        .select("doc_id", "source", "text")
+      val bench = docs(s, dir).filter(col("doc_id") % 37 === 0)
+      val contaminated = Decontam.contamination(
+          corpus, bench, "doc_id", "text", "text", n = 3, threshold = 0.5)
+        .filter(col("contaminated")).select("doc_id")
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      // 2. mixture rebalance over the SURVIVORS' per-source counts
+      val mixed = Sampling.mixture(clean, "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      // 3. PII redaction (same deterministic injection as text_redact —
+      //    the synthetic corpus carries no PII of its own)
+      val redacted = mixed.withColumn("text", TextOps.redactPii(concat(
+        col("text"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(" mail u"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" phone 555"), lpad(col("doc_id").cast("string"), 7, "0")))
+          .otherwise(lit("")))))
+      // 4. chunk the redacted text; 5. pack chunks into 256-token packs,
+      //    keyed by (doc_id, chunk_idx) via a collision-free composite
+      val chunks = TextOps.chunkTokens(
+          redacted.select("doc_id", "source", "text"),
+          "doc_id", "text", size = 64, stride = 32)
+        .withColumn("chunk_key",
+          col("doc_id") * lit(100000L) + col("chunk_idx"))
+      TextOps.packSequences(chunks, "chunk_key", "chunk_tokens", "source",
+          budget = 256L)
+        .select(col("doc_id"), col("chunk_idx"), col("source"),
+          col("chunk_tokens").cast("long").as("chunk_tokens"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy("source", "doc_id", "chunk_idx")
     }),
 
     // ------------------------------------------------ similarity (embeddings)
@@ -809,6 +890,52 @@ object SparkEntry {
         SELECT id FROM (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
         WHERE id <> cluster)"""
 
+  /** corpus_prep_v2's full CTE chain (lexical survivors `kept` +
+    * semantic-LSH drop set `edrops`), shared by the v2 and v3 oracles.
+    * See the STRUCTURE NOTE on `corpus_prep_v2` for why the recursion is
+    * confined to the nested sub-select and the semantic closure uses
+    * squaring. */
+  private val duckCorpusV2Ctes = s"""kept AS MATERIALIZED (
+        WITH RECURSIVE $duckCorpusPrepCtes
+        SELECT doc_id, source, lang_pred, quality, n_tokens
+        FROM uniq WHERE doc_id NOT IN (SELECT id FROM drops)),
+      ev AS MATERIALIZED (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings WHERE vec_id IN (SELECT doc_id FROM kept)),
+      edims AS (SELECT len(v) AS nd FROM ev LIMIT 1),
+      eplanes AS (
+        SELECT t, p,
+          [(('0x' || substr(md5(t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+            % 2000) / 1000.0 - 1.0 FOR d IN range(nd)] AS w
+        FROM (SELECT unnest(range(8)) AS t), (SELECT unnest(range(4)) AS p), edims),
+      ecodes AS (
+        SELECT ev.id, pl.t AS tbl,
+          CAST(sum(CASE WHEN list_dot_product(ev.v, pl.w) >= 0
+                   THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bkt
+        FROM ev, eplanes pl GROUP BY ev.id, pl.t),
+      epairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM ecodes a JOIN ecodes b
+          ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.id < b.id),
+      sem AS MATERIALIZED (
+        SELECT p.id_a, p.id_b FROM epairs p
+        JOIN ev va ON va.id = p.id_a JOIN ev vb ON vb.id = p.id_b
+        WHERE list_dot_product(va.v, vb.v) / (va.norm * vb.norm) >= 0.4),
+      eedges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM sem
+        UNION SELECT id_b, id_a FROM sem
+        UNION SELECT id_a, id_a FROM sem
+        UNION SELECT id_b, id_b FROM sem),
+      ec1 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM eedges a JOIN eedges b ON a.dst = b.src),
+      ec2 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec1 a JOIN ec1 b ON a.dst = b.src),
+      ec3 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec2 a JOIN ec2 b ON a.dst = b.src),
+      ec4 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec3 a JOIN ec3 b ON a.dst = b.src),
+      ec5 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec4 a JOIN ec4 b ON a.dst = b.src),
+      ec6 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec5 a JOIN ec5 b ON a.dst = b.src),
+      edrops AS (
+        SELECT src AS id FROM ec6 GROUP BY src HAVING src <> min(dst))"""
+
   /** tf-weighted token rows (one per (doc, token)) feeding simhash. */
   private val duckSimhash = """
     SELECT id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
@@ -992,6 +1119,8 @@ object SparkEntry {
 
     "src_csv_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
 
+    "src_zip_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
+
     "src_jsonl_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
 
     "src_seq_roundtrip" -> "SELECT * FROM events ORDER BY event_id",
@@ -1156,49 +1285,85 @@ object SparkEntry {
     // side (Dedup.clusters) has no such bound and THROWS on
     // non-convergence, so a mismatch would fail loudly, not silently.
     "corpus_prep_v2" -> s"""
-      WITH kept AS MATERIALIZED (
-        WITH RECURSIVE $duckCorpusPrepCtes
-        SELECT doc_id, source, lang_pred, quality, n_tokens
-        FROM uniq WHERE doc_id NOT IN (SELECT id FROM drops)),
-      ev AS MATERIALIZED (
-        SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-        FROM embeddings WHERE vec_id IN (SELECT doc_id FROM kept)),
-      edims AS (SELECT len(v) AS nd FROM ev LIMIT 1),
-      eplanes AS (
-        SELECT t, p,
-          [(('0x' || substr(md5(t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
-            % 2000) / 1000.0 - 1.0 FOR d IN range(nd)] AS w
-        FROM (SELECT unnest(range(8)) AS t), (SELECT unnest(range(4)) AS p), edims),
-      ecodes AS (
-        SELECT ev.id, pl.t AS tbl,
-          CAST(sum(CASE WHEN list_dot_product(ev.v, pl.w) >= 0
-                   THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bkt
-        FROM ev, eplanes pl GROUP BY ev.id, pl.t),
-      epairs AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM ecodes a JOIN ecodes b
-          ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.id < b.id),
-      sem AS MATERIALIZED (
-        SELECT p.id_a, p.id_b FROM epairs p
-        JOIN ev va ON va.id = p.id_a JOIN ev vb ON vb.id = p.id_b
-        WHERE list_dot_product(va.v, vb.v) / (va.norm * vb.norm) >= 0.4),
-      eedges AS MATERIALIZED (
-        SELECT id_a AS src, id_b AS dst FROM sem
-        UNION SELECT id_b, id_a FROM sem
-        UNION SELECT id_a, id_a FROM sem
-        UNION SELECT id_b, id_b FROM sem),
-      ec1 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM eedges a JOIN eedges b ON a.dst = b.src),
-      ec2 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec1 a JOIN ec1 b ON a.dst = b.src),
-      ec3 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec2 a JOIN ec2 b ON a.dst = b.src),
-      ec4 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec3 a JOIN ec3 b ON a.dst = b.src),
-      ec5 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec4 a JOIN ec4 b ON a.dst = b.src),
-      ec6 AS MATERIALIZED (SELECT DISTINCT a.src, b.dst FROM ec5 a JOIN ec5 b ON a.dst = b.src),
-      edrops AS (
-        SELECT src AS id FROM ec6 GROUP BY src HAVING src <> min(dst))
+      WITH $duckCorpusV2Ctes
       SELECT doc_id, source, lang_pred, quality, n_tokens
       FROM kept WHERE doc_id NOT IN (SELECT id FROM edrops)
       ORDER BY doc_id""",
+
+    // the full v3 chain replayed declaratively on top of the shared v2
+    // CTEs: decontam gate (doc shingles vs the doc_id%37 bench set) →
+    // per-source mixture thresholds over the SURVIVORS → inject+redact →
+    // chunk the redacted text → per-source running-sum packing ordered by
+    // the same composite chunk key the engine sorts on
+    "corpus_prep_v3" -> s"""
+      WITH $duckCorpusV2Ctes,
+      kept3 AS MATERIALIZED (
+        SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT id FROM edrops)),
+      corpus AS MATERIALIZED (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d JOIN kept3 USING (doc_id)
+        WHERE d.doc_id % 37 <> 0),
+      tsh3 AS (${duckShinglesFrom("corpus")}),
+      bsh3 AS (SELECT DISTINCT s FROM
+        (${duckShinglesFrom("(SELECT * FROM documents WHERE doc_id % 37 = 0)")})),
+      contam AS (
+        SELECT id FROM (
+          SELECT id, count(*) AS c, count(b.s) AS h
+          FROM tsh3 LEFT JOIN bsh3 b USING (s) GROUP BY 1)
+        WHERE h::DOUBLE / c >= 0.5),
+      clean AS MATERIALIZED (
+        SELECT * FROM corpus WHERE doc_id NOT IN (SELECT id FROM contam)),
+      mc AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS n,
+          CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END
+               AS DOUBLE) AS w
+        FROM clean WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+      mk AS (SELECT source, n, w, n / w AS t, min(n / w) OVER () AS kk FROM mc),
+      mr AS (SELECT source,
+        CASE WHEN t = kk THEN 1000000
+             ELSE CAST(floor(least(kk * w / n, 1.0) * 1000000.0) AS BIGINT)
+        END AS thresh FROM mk),
+      mixed AS MATERIALIZED (
+        SELECT clean.doc_id, clean.source, clean.text
+        FROM clean JOIN mr USING (source)
+        WHERE ('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000 < thresh),
+      red AS (
+        SELECT doc_id, source,
+          regexp_replace(regexp_replace(
+            text
+            || CASE WHEN doc_id % 10 = 0
+                 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                 THEN ' phone 555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                 ELSE '' END,
+            '${TextOps.emailRe}', '<EMAIL>', 'g'),
+            '${TextOps.longNumRe}', '<NUM>', 'g') AS txt
+        FROM mixed),
+      dtok AS (
+        SELECT doc_id, source,
+          string_split(regexp_replace(lower(trim(txt)), '\\s+', ' ', 'g'), ' ') AS t
+        FROM red),
+      cc3 AS (
+        SELECT doc_id, source, t,
+          CASE WHEN len(t) <= 64 THEN 1
+               ELSE (len(t) - 64 + 31) // 32 + 1 END AS nc
+        FROM dtok),
+      ce AS (SELECT doc_id, source, t, unnest(range(nc)) AS i FROM cc3),
+      chunks AS MATERIALIZED (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx, source,
+          CAST(len(t[i*32+1 : i*32+64]) AS BIGINT) AS chunk_tokens
+        FROM ce),
+      pk AS (
+        SELECT *, CAST(COALESCE(sum(chunk_tokens) OVER (
+          PARTITION BY source ORDER BY doc_id * 100000 + chunk_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM chunks)
+      SELECT doc_id, chunk_idx, source, chunk_tokens,
+        CAST(cb // 256 AS BIGINT) AS pack_id,
+        CAST(cb % 256 AS BIGINT) AS pack_offset
+      FROM pk ORDER BY source, doc_id, chunk_idx""",
 
     "dedup_simhash" -> s"$duckSimhash\nORDER BY id",
 

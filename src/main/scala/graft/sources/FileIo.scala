@@ -25,8 +25,11 @@ object FileIo {
 
   /** Reference option set, defaults per
     * `plugin-unstructured-storage-util/.../Constant.java` (delimiter ",",
-    * nullFormat "\N") and `Key.java`. `compress`: gzip/bzip2/none — the
-    * subset of the reference's list with Spark-native codecs. */
+    * nullFormat "\N") and `Key.java`. `compress`: gzip/bzip2/none
+    * (Spark-native codecs) plus "zip" via [[ZipCodec]] — call
+    * [[registerZipCodec]] once per session so the extension lookup
+    * decodes `.zip` scans (reference list:
+    * `UnstructuredStorageReaderUtil.java:220-228`). */
   case class TextOptions(
       delimiter: String = ",",
       header: Boolean = false,
@@ -35,6 +38,27 @@ object FileIo {
       encoding: String = "UTF-8",
       /** micro-precision so parquet timestamps round-trip exactly */
       timestampFormat: String = "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Spark's compression option takes short names OR codec class names;
+    * "zip" is ours, everything else passes through. */
+  private def compressionName(o: TextOptions): String =
+    o.compress match {
+      case Some("zip") => classOf[ZipCodec].getName
+      case other => other.getOrElse("none")
+    }
+
+  /** Register [[ZipCodec]] with the session's Hadoop conf so `.zip` files
+    * resolve through the standard extension→codec lookup in every text
+    * scan (executor tasks inherit the conf). Idempotent. Service-loaded
+    * defaults (gzip, bzip2, ...) remain available — the key ADDS codecs. */
+  def registerZipCodec(spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "io.compression.codecs"
+    val cls = classOf[ZipCodec].getName
+    val cur = Option(conf.get(key)).getOrElse("")
+    if (!cur.split(',').map(_.trim).contains(cls))
+      conf.set(key, if (cur.isEmpty) cls else s"$cur,$cls")
+  }
 
   /** Reference write modes (`hdfswriter/.../HdfsWriter.java:82-90`,
     * `txtfilewriter/.../TxtFileWriter.java:94-192`): truncate = clean then
@@ -64,7 +88,7 @@ object FileIo {
       // truncate micros to millis)
       .option("timestampFormat", o.timestampFormat)
       .option("timestampNTZFormat", o.timestampFormat)
-      .option("compression", o.compress.getOrElse("none"))
+      .option("compression", compressionName(o))
       .mode(saveMode(writeMode)).csv(path)
 
   /** Schema-d CSV scan. `constCols` replicates the reference's constant
@@ -100,7 +124,7 @@ object FileIo {
       // micros on write; read side uses the lenient ISO parser (see writeCsv)
       .option("timestampFormat", o.timestampFormat)
       .option("timestampNTZFormat", o.timestampFormat)
-      .option("compression", o.compress.getOrElse("none"))
+      .option("compression", compressionName(o))
       .mode(saveMode(writeMode)).json(path)
 
   def readJsonl(spark: SparkSession, path: String, schema: StructType,

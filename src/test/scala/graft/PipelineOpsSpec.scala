@@ -411,6 +411,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Array(("a b", 2L, 1), ("b c", 2L, 2), ("b a", 1L, 3)))
   }
 
+  // ------------------------------------------- corpus_prep_v3 composition
+
+  test("v3 composition (decontam→mixture→redact→chunk→pack) plan shape") {
+    import graft.operators.{Decontam, Sampling}
+    val docs = (0 until 200).map(i => (i.toLong, s"src${i % 3}",
+      s"the quick brown fox $i jumps over the lazy dog number ${i * 7} end"))
+      .toDF("doc_id", "source", "text")
+    val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+    val contaminated = Decontam
+      .contamination(corpus, bench, "doc_id", "text", "text", 3, 0.5)
+      .filter(col("contaminated")).select("doc_id")
+    val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    val mixed = Sampling.mixture(clean, "doc_id", "source",
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+    val redacted = mixed.withColumn("text", TextOps.redactPii(col("text")))
+    val chunks = TextOps.chunkTokens(
+        redacted.select("doc_id", "source", "text"),
+        "doc_id", "text", size = 8, stride = 4)
+      .withColumn("chunk_key", col("doc_id") * lit(100000L) + col("chunk_idx"))
+    val packed = TextOps.packSequences(
+      chunks, "chunk_key", "chunk_tokens", "source", budget = 16L)
+    val plan = executed(packed)
+    // every join in the composition broadcasts (bench shingles, the
+    // contaminated-id set, the per-source mixture thresholds) — the
+    // corpus itself is NEVER shuffled by a join at any scale
+    assert("SortMergeJoin".r.findAllIn(plan).isEmpty,
+      s"corpus-shuffling join crept in:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length === 5)
+    // the single-partition exchange is the mixture's min-over-() on the
+    // per-source COUNT frame (≤ |sources| rows) — never corpus data
+    assert("Exchange SinglePartition".r.findAllIn(plan).length === 1)
+    // 6 hash exchanges total: decontam's two shingle aggs + its id-set
+    // agg, the mixture count agg, and the per-shard packing window's —
+    // all keyed aggregations, none avoidable without losing a stage
+    assert(exchanges(plan) === 6, s"exchange count drifted:\n$plan")
+  }
+
   test("topNgrams top-k is distributed (TakeOrderedAndProject, no global Window sort)") {
     val docs = Seq("a b a b c", "b c", "Z").toDF("text")
     val q = TextOps.topNgrams(docs, "text", n = 2, k = 3)

@@ -250,6 +250,33 @@ class SourcesSpec extends SparkSpec {
       {"index":{"_id":"1","status":200}}]}""") === Seq.empty)
   }
 
+  test("zip codec: multi-entry archives read as one concatenated text stream (S3/S4)") {
+    FileIo.registerZipCodec(spark)
+    val dir = tmpDir("zip")
+    // two entries + a directory entry that must be skipped
+    val zf = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/multi.zip")))
+    zf.putNextEntry(new java.util.zip.ZipEntry("a/")); zf.closeEntry()
+    zf.putNextEntry(new java.util.zip.ZipEntry("a/one.csv"))
+    zf.write("1,alpha\n2,beta\n".getBytes("UTF-8")); zf.closeEntry()
+    zf.putNextEntry(new java.util.zip.ZipEntry("b/two.csv"))
+    zf.write("3,gamma\n".getBytes("UTF-8")); zf.closeEntry()
+    zf.close()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id INT, name STRING")
+    val got = FileIo.readCsv(spark, s"$dir/multi.zip", schema)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got === Set((1, "alpha"), (2, "beta"), (3, "gamma")))
+
+    // write side round-trips through the same codec by extension
+    val df = Seq((10, "x"), (11, "y")).toDF("id", "name")
+    FileIo.writeCsv(df, s"$dir/out", FileIo.TextOptions(compress = Some("zip")))
+    val names = new java.io.File(s"$dir/out").listFiles().map(_.getName)
+    assert(names.exists(_.endsWith(".zip")), s"no .zip parts in ${names.toSeq}")
+    val back = FileIo.readCsv(spark, s"$dir/out", schema)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(back === Set((10, "x"), (11, "y")))
+  }
+
   // --------------------------------------------------- kafka executable IO
 
   test("KafkaIo reader options: subscribe, offsets, throttle wired exactly (S10)") {
