@@ -400,11 +400,12 @@ class SourcesSpec extends SparkSpec {
   test("mode=kafka fails fast with the --packages instruction offline") {
     import graft.tools.IngestMain
     // connector jar absent in this offline sandbox: the seam must surface
-    // the actionable fix, not a bare DATA_SOURCE_NOT_FOUND
+    // the actionable fix, not a bare DATA_SOURCE_NOT_FOUND. Capability
+    // detection (KafkaIo.connectorAvailable) fires BEFORE any provider
+    // lookup, so there is no underlying lookup failure to preserve.
     val e = intercept[IllegalStateException](IngestMain.kafkaSource(spark,
       Map("brokers" -> "broker:9092", "topic" -> "cdc")))
     assert(e.getMessage.contains("--packages"))
-    assert(e.getCause != null) // original lookup failure preserved
     intercept[IllegalArgumentException](
       IngestMain.kafkaSource(spark, Map("topic" -> "cdc")))
     intercept[IllegalArgumentException](
