@@ -44,6 +44,12 @@ object Ingest {
         * checked BEFORE the percentage — the record limit wins, matching
         * the reference (`ErrorRecordChecker.java:18-81`). None = off. */
       errorRecordLimit: Option[Long] = None,
+      /** OBSERVE each batch's dirty rows (bounded driver-side sample) —
+        * the reference's TaskPluginCollector reporting seam
+        * ([[StdoutDirtyCollector]] / [[HttpDirtyCollector]]). Reporting
+        * only: the gate's drop-vs-fail and the dead-letter sink are
+        * unchanged, and a collector failure never fails the batch. */
+      dirtyCollector: Option[DirtyCollector] = None,
       /** mirror per-batch StreamingQueryProgress JSON here (metrics). */
       metricsDir: Option[String] = None,
       /** persist the micro-batch across applyBatch's passes (gate, stats,
@@ -184,7 +190,7 @@ object Ingest {
       // free). The gate is ON whenever a dead-letter sink OR either error
       // limit is configured — limits must fire even without a sink
       // (reference: ErrorRecordChecker runs regardless of the collector).
-      val gateOn = cfg.deadLetterDir.isDefined ||
+      val gateOn = cfg.deadLetterDir.isDefined || cfg.dirtyCollector.isDefined ||
         cfg.errorRecordLimit.isDefined || cfg.errorPctLimit < 1.0
       val batch = if (!gateOn) src else {
         val flagged = src.withColumn("_dirty", dirtyCond)
@@ -200,6 +206,17 @@ object Ingest {
             flagged.filter(col("_dirty")).drop("_dirty")
               .write.mode("overwrite")
               .parquet(s"${dl.stripSuffix("/")}/_batch_id=$batchId")
+          }
+          // reporting seam: best-effort by contract — a collector error
+          // (endpoint down, render bug) must never fail the batch
+          cfg.dirtyCollector.foreach { c =>
+            try c.collect(batchId,
+              flagged.filter(col("_dirty")).drop("_dirty"), dirty, total)
+            catch {
+              case e: Exception => System.err.println(
+                s"[ingest] batch $batchId: dirty collector failed " +
+                  s"(ignored): ${e.getMessage}")
+            }
           }
           cfg.errorRecordLimit.foreach { lim =>
             if (dirty > lim) // record limit wins over the percentage

@@ -91,6 +91,15 @@ object IngestMain {
       deadLetterDir = kv.get("deadLetterDir"),
       errorPctLimit = kv.getOrElse("errorPctLimit", "1.0").toDouble,
       errorRecordLimit = kv.get("errorRecordLimit").map(_.toLong),
+      // the reference's collector choice from job config: stdout sample,
+      // http POST endpoint, or a custom class (no-arg ctor)
+      dirtyCollector = kv.get("dirtyCollector").map {
+        case "stdout" => graft.streaming.StdoutDirtyCollector
+        case url if url.startsWith("http://") || url.startsWith("https://") =>
+          new graft.streaming.HttpDirtyCollector(url)
+        case cls => Class.forName(cls).getDeclaredConstructor()
+          .newInstance().asInstanceOf[graft.streaming.DirtyCollector]
+      },
       metricsDir = kv.get("metricsDir"),
       // parse eagerly: an unknown transform name fails the job at config
       // time (preflight), not in the middle of the first micro-batch

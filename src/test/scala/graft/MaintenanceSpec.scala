@@ -562,6 +562,40 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(dl).count() === 5)
   }
 
+  test("dirty collector reports a bounded sample; a failing collector never fails the batch") {
+    import graft.streaming.{DirtyCollector, HttpDirtyCollector}
+    val root = tmpDir("dirty-coll")
+    // HTTP-shaped collector with an injected transport (no egress here):
+    // records every POST so the rendering/batching contract is assertable
+    val posts = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val http = new HttpDirtyCollector("http://ops.example/dirty",
+      (url, body) => { posts += ((url, body)); 200 })
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
+      dirtyCollector = Some(http))
+    val batch = batchOf(
+      ev("I", "c1", 0, "a", 1, 1),
+      ChangeEvent("X", "c9", 0, "u", "t", null, ts(1), ts(1), 50),
+      ChangeEvent("I", null, 1, "u", "t", null, ts(1), ts(1), 51))
+    val stats = Ingest.applyBatch(spark, cfg, batch, 0L)
+    assert(stats.inputRows === 1) // collector is reporting-only; gate still drops
+    assert(posts.size === 1)
+    val (url, body) = posts.head
+    assert(url === "http://ops.example/dirty")
+    assert(body.contains(""""batchId":0""") && body.contains(""""dirty":2""")
+      && body.contains(""""total":3""") && body.contains(""""op":"X""""))
+
+    // a collector that throws must not fail the batch (best-effort contract)
+    val angry = new DirtyCollector {
+      override def collect(b: Long, d: org.apache.spark.sql.DataFrame,
+          n: Long, t: Long): Unit = throw new RuntimeException("endpoint down")
+    }
+    val cfg2 = Ingest.Config(s"$root/t2", s"$root/ck2", "w", buckets = 2,
+      dirtyCollector = Some(angry))
+    val ok = Ingest.applyBatch(spark, cfg2, batch, 0L)
+    assert(ok.inputRows === 1)
+    assert(Icelite.load(spark, cfg2.tablePath).read().count() === 1)
+  }
+
   test("absolute error-record limit wins over the percentage (F9)") {
     val root = tmpDir("reclim")
     val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
