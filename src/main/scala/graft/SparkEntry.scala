@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Model
-import graft.operators.{Ann, Decontam, Dedup, Lww, Multimodal, Sampling, Skew, Temporal, TextOps, Transforms}
+import graft.operators.{Ann, Decontam, Dedup, IncrementalDedup, Lww, Multimodal, Sampling, Skew, Temporal, TextOps, Transforms}
 import graft.plans.Icelite
 import graft.sources.{Changelog, FileIo}
 import graft.streaming.Ingest
@@ -130,6 +130,18 @@ object SparkEntry {
     "cdc_time_travel" -> ((s, dir) => {
       val (table, midSnap) = replayHalves(s, dir)
       table.readAt(midSnap).orderBy("conv_id", "turn_idx")
+    }),
+
+    // snapshot rollback (Iceberg rollback_to_snapshot analogue): replay
+    // both halves, then roll the HEAD back to the mid-replay snapshot —
+    // the current read (not a time-travel read) must equal the mid
+    // state; the exactly-once gate reverts with the files, so a resumed
+    // stream re-applies the undone batches (convergence pinned by
+    // MaintenanceSpec)
+    "cdc_rollback" -> ((s, dir) => {
+      val (table, midSnap) = replayHalves(s, dir)
+      table.rollbackTo(midSnap)
+      table.read().orderBy("conv_id", "turn_idx")
     }),
 
     // incremental scan (Iceberg incremental-read analogue): every row
@@ -523,6 +535,23 @@ object SparkEntry {
       Dedup.clusters(Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text"))
         .orderBy("id")),
 
+    // incremental near-dup against a persisted MinHash signature index:
+    // the documents table arrives as three CDC-style batches (arrival =
+    // doc_id % 3); each batch is deduped against everything that arrived
+    // earlier WITHOUT re-scanning the corpus — candidates come from an
+    // equi-join of the batch's LSH bands (broadcast) against the index,
+    // verified by an integer signature-match count (no float compare)
+    "dedup_incremental" -> ((s, dir) => {
+      val work = Files.createTempDirectory("graft-incdedup").toString
+      val d = docs(s, dir)
+      val batches = (0 until 3).map(a =>
+        d.filter(pmod(col("doc_id"), lit(3)) === a))
+      IncrementalDedup.replay(s, s"$work/idx", batches, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("arrival"), col("kept"),
+          col("dup_of"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHash(docs(s, dir), "doc_id", "text").orderBy("id")),
 
@@ -837,6 +866,21 @@ object SparkEntry {
             FROM $rel))"""
   private val duckShingles = duckShinglesFrom("documents")
 
+  /** Table state at the mid-replay cutoff (same cutoff arithmetic as
+    * [[replayHalves]]) — shared by the cdc_time_travel and cdc_rollback
+    * oracles. */
+  private val duckMidStateSql = s"""
+      WITH ch AS (${Changelog.duckChangelogSql}),
+      b AS (SELECT greatest(1, (max(seq) // 4096 + 1) // 2) * 4096 AS cutoff FROM ch),
+      ranked AS (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY event_ts DESC, seq DESC) AS rn
+        FROM ch WHERE seq < (SELECT cutoff FROM b))
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY conv_id, turn_idx"""
+
   /** Shared lexical corpus-prep CTE chain (through `drops`), used by the
     * corpus_prep and corpus_prep_v2 oracles. */
   private val duckCorpusPrepCtes = s"""scored AS (
@@ -1002,17 +1046,11 @@ object SparkEntry {
 
     // cutoff arithmetic mirrors replayHalves: cutSeg = max(1, (maxSeg+1)/2),
     // segSize 4096, so phase 1 = events with seq < cutSeg*4096
-    "cdc_time_travel" -> s"""
-      WITH ch AS (${Changelog.duckChangelogSql}),
-      b AS (SELECT greatest(1, (max(seq) // 4096 + 1) // 2) * 4096 AS cutoff FROM ch),
-      ranked AS (
-        SELECT ch.*, row_number() OVER (
-          PARTITION BY conv_id, turn_idx
-          ORDER BY event_ts DESC, seq DESC) AS rn
-        FROM ch WHERE seq < (SELECT cutoff FROM b))
-      SELECT conv_id, turn_idx, role, text, tool, ts
-      FROM ranked WHERE rn = 1 AND op <> 'D'
-      ORDER BY conv_id, turn_idx""",
+    "cdc_time_travel" -> duckMidStateSql,
+
+    // rollback republishes the mid-replay state as the HEAD, so the
+    // current read equals the time-travel read of the target snapshot
+    "cdc_rollback" -> duckMidStateSql,
 
     "cdc_changes_since" -> s"""
       WITH ch AS (${Changelog.duckChangelogSql}),
@@ -1242,6 +1280,54 @@ object SparkEntry {
     // identical pairs in this corpus; verified-exact output equals the
     // exact all-pairs result
     "dedup_minhash_lsh" -> duckJaccardPairs,
+
+    // full MinHash reproduction: same 60-bit md5 hash, same full-range
+    // (K·(2i+1))x + b_i mod 2^31-1 permutations (K = 2654435761 mod p —
+    // see Dedup.minHashSignatures), same 16×4 banding (band key = the
+    // slice VALUES, engine-neutral), same integer match-count threshold
+    // ceil(0.7·64) = 45 — the estimator's noise is irrelevant because
+    // both engines compute identical signatures
+    "dedup_incremental" -> """
+      WITH toks AS (
+        SELECT doc_id AS id, doc_id % 3 AS arrival,
+               string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT id, unnest(
+          [array_to_string(t[i+1:i+3], ' ') FOR i IN range(greatest(len(t)-2, 1))]) AS s
+        FROM toks),
+      xs AS (
+        SELECT id, ('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647 AS x
+        FROM sh),
+      mins AS (
+        SELECT id, u.i,
+          min((((2654435761 % 2147483647) * (2*u.i+1)) % 2147483647 * x
+               + (2246822519 * (u.i+1) + 12345) % 2147483647) % 2147483647) AS mh
+        FROM xs CROSS JOIN (SELECT unnest(range(64)) AS i) u GROUP BY id, u.i),
+      sg AS (SELECT id, list(mh ORDER BY i) AS sig FROM mins GROUP BY id),
+      dcs AS (
+        SELECT g.id, k.arrival, g.sig
+        FROM sg g JOIN (SELECT DISTINCT id, arrival FROM toks) k USING (id)),
+      bnd AS (
+        SELECT id, arrival, u.b,
+          array_to_string(sig[u.b*4+1:u.b*4+4], ',') AS bkey
+        FROM dcs CROSS JOIN (SELECT unnest(range(16)) AS b) u),
+      cand AS (
+        SELECT DISTINCT x.id AS id_a, x.arrival AS arr_a, y.id AS id_b
+        FROM bnd x JOIN bnd y ON x.b = y.b AND x.bkey = y.bkey
+          AND (x.arrival < y.arrival OR (x.arrival = y.arrival AND x.id < y.id))),
+      m AS (
+        SELECT c.id_b, c.arr_a, c.id_a
+        FROM cand c JOIN dcs sa ON sa.id = c.id_a JOIN dcs sb ON sb.id = c.id_b
+        WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) >= 45),
+      dup AS (
+        SELECT id_b AS id, id_a AS dup_of FROM (
+          SELECT id_b, id_a,
+            row_number() OVER (PARTITION BY id_b ORDER BY arr_a, id_a) AS rn
+          FROM m) WHERE rn = 1)
+      SELECT d.id AS doc_id, d.arrival, (dup.id IS NULL) AS kept, dup.dup_of
+      FROM dcs d LEFT JOIN dup ON dup.id = d.id
+      ORDER BY doc_id""",
 
     "dedup_clusters" -> s"""
       WITH RECURSIVE pairs AS ($duckJaccardPairs),

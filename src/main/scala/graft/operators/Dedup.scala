@@ -105,9 +105,21 @@ object Dedup {
     * collect_list's nondeterministic order is fine. */
   def minHashSignatures(sh: DataFrame, cfg: MinHashConfig): DataFrame = {
     val base = pmod(portableHash(col("sh")), lit(MersennePrime)).as("x")
-    // deterministic odd coefficients; any fixed co-prime family works
-    val aArr = array((0 until cfg.numHashes).map(i => lit(2L * i + 1)): _*)
-    val bArr = array((0 until cfg.numHashes).map(i => lit(40503L * i + 17L)): _*)
+    // Deterministic full-range multipliers: a_i = (K·(2i+1)) mod p with
+    // K = 2654435761 mod p (Knuth's 2^32/φ). The multiplier must span the
+    // field — an early version used a_i = 2i+1 and tiny multipliers make
+    // (a·x+b) mod p NEARLY ORDER-PRESERVING in x (few wraps), so every
+    // "permutation" picks the same min-x shingle and two short docs
+    // sharing one shingle matched on 50+/64 positions at true j≈0.01
+    // (caught by the incremental-dedup estimator; the batch path masked
+    // it behind exact verification). a_i ≠ 0 since p is prime and both
+    // factors are nonzero mod p. Same formulas verbatim in the
+    // dedup_incremental DuckDB oracle.
+    val K = 2654435761L % MersennePrime
+    val aArr = array((0 until cfg.numHashes).map(i =>
+      lit((K * (2L * i + 1)) % MersennePrime)): _*)
+    val bArr = array((0 until cfg.numHashes).map(i =>
+      lit((2246822519L * (i + 1L) + 12345L) % MersennePrime)): _*)
     if (cfg.perRowSignatures)
       sh.select(col("id"), base)
         .groupBy(col("id")).agg(collect_list(col("x")).as("xs"))

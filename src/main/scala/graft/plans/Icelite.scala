@@ -758,6 +758,53 @@ class IceliteTable(val spark: SparkSession, val root: String) {
 
   // ---------------------------------------------------------------- maintenance
 
+  /** Roll the table back to snapshot `targetId` (the Iceberg
+    * `rollback_to_snapshot` analogue): publishes a NEW head whose
+    * files/schema replicate the target's — history stays append-only, so
+    * the rolled-back snapshots remain readable (and their files
+    * referenced) until [[expireSnapshots]] retires them; nothing is
+    * deleted here, making rollback an O(manifest) metadata commit at any
+    * data scale. The exactly-once gate (writerId, lastBatchId) reverts
+    * WITH the state: a checkpointed stream that resumes after a rollback
+    * re-applies the undone batches instead of skipping them (pinned by
+    * MaintenanceSpec — rollback + re-apply converges to the same final
+    * state). Rollback is an explicit operator action, so on a commit race
+    * it rebases by re-targeting the same target state onto the winner
+    * (last rollback wins, like Iceberg). Throws FileNotFoundException if
+    * `targetId` has already been expired. */
+  def rollbackTo(targetId: Long): Long = {
+    val target = snapshotAt(targetId)
+    def buildNext(base: SnapshotMeta): SnapshotMeta = base.copy(
+      snapshotId = base.snapshotId + 1,
+      parentId = base.snapshotId,
+      writerId = target.writerId,
+      lastBatchId = target.lastBatchId,
+      buckets = target.buckets,
+      schemas = target.schemas,
+      currentSchemaId = target.currentSchemaId,
+      files = target.files,
+      summary = Map("op" -> "rollback", "rollback.to" -> targetId.toString),
+      committedAtMs = System.currentTimeMillis(),
+      manifestRef = None) // writeSnapshot re-spills if the list is large
+    commitWithRetry(buildNext(snapshot()),
+      latest => Some(buildNext(latest))).get.snapshotId
+  }
+
+  /** Latest snapshot committed at or before `tsMs` — Iceberg's
+    * `TIMESTAMP AS OF` resolution. Commit timestamps come from the
+    * committing driver's clock (monotonic under the single-writer rule;
+    * ties and clock skew between racing writers break by snapshot id,
+    * which IS the commit order). O(retained snapshots) driver-side metadata
+    * reads, bounded by [[expireSnapshots]]. */
+  def snapshotIdAsOf(tsMs: Long): Long = {
+    val h = history().filter(_.committedAtMs <= tsMs)
+    require(h.nonEmpty, s"no snapshot committed at or before $tsMs")
+    h.maxBy(s => (s.committedAtMs, s.snapshotId)).snapshotId
+  }
+
+  /** Time-travel read by wall-clock timestamp (`TIMESTAMP AS OF`). */
+  def readAsOf(tsMs: Long): DataFrame = readAt(snapshotIdAsOf(tsMs))
+
   /** Maintenance compaction: rewrite every bucket carrying delta files into
     * a single base generation (the Iceberg `rewrite_data_files` analogue).
     * Bounded per bucket; buckets without deltas are untouched. Does NOT

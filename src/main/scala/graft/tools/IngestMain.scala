@@ -38,7 +38,10 @@ import graft.streaming.Ingest
   *   outgrew its bucket layout, expire keepLast=<n> (default 5) drops old
   *   snapshots + GCs their files via manifest diff (deepGc=true adds the
   *   full tree walk that also sweeps never-committed staged orphans),
-  *   lineage-rollup folds per-batch lineage JSONL into parquet
+  *   lineage-rollup folds per-batch lineage JSONL into parquet,
+  *   rollback toSnapshot=<id>|asOfMs=<epochMs> reverts table state AND
+  *   the exactly-once gate to a past snapshot (append-only metadata
+  *   commit; the resumed stream re-applies the undone batches)
   *   mode=files|snapshots [limit=<n>] — print the metadata tables
   *   ([[graft.plans.IceliteTable.filesDf]]/`snapshotsDf`): per-file
   *   bucket/kind/rows/seq-range, per-snapshot commit metadata
@@ -111,7 +114,7 @@ object IngestMain {
   }
 
   private val MaintenanceModes = Set("compact", "rebucket", "expire",
-    "lineage-rollup", "files", "snapshots")
+    "lineage-rollup", "rollback", "files", "snapshots")
   /** modes that read no binlog dir (maintenance + non-binlog sources) */
   private val NoBinlogModes = MaintenanceModes ++ Set("shards", "kafka")
 
@@ -181,6 +184,14 @@ object IngestMain {
         case "lineage-rollup" =>
           val rolled = Ingest.rollupLineage(spark, cfg)
           println(s"[ingest] rolled $rolled lineage files into parquet")
+        case "rollback" =>
+          val table = Icelite.load(spark, cfg.tablePath)
+          val target = kv.get("toSnapshot").map(_.toLong).orElse(
+            kv.get("asOfMs").map(ts => table.snapshotIdAsOf(ts.toLong)))
+            .getOrElse(throw new IllegalArgumentException(
+              "mode=rollback needs toSnapshot=<id> or asOfMs=<epochMs>"))
+          val head = table.rollbackTo(target)
+          println(s"[ingest] rolled back to snapshot $target (new head $head)")
         case "files" => // metadata inspection (Iceberg table$files analogue)
           Icelite.load(spark, cfg.tablePath).filesDf()
             .orderBy("bucket", "path").show(kv.getOrElse("limit", "50").toInt, false)

@@ -429,6 +429,86 @@ class MaintenanceSpec extends SparkSpec {
     assert(table.readAt(table.snapshot().snapshotId).count() === 1)
   }
 
+  test("rollbackTo reverts state AND the exactly-once gate; re-apply converges") {
+    val root = tmpDir("rb")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2)
+    val b1 = batchOf(ev("U", "c1", 0, "v2", 3, 3), ev("D", "c2", 0, null, 4, 4))
+    Ingest.applyBatch(spark, cfg,
+      batchOf(ev("I", "c1", 0, "v1", 1, 1), ev("I", "c2", 0, "x", 2, 2)), 0L)
+    val table = Icelite.load(spark, cfg.tablePath)
+    val s1 = table.snapshot().snapshotId
+    val mid = table.read().orderBy("conv_id", "turn_idx").collect()
+    Ingest.applyBatch(spark, cfg, b1, 1L)
+    val s2 = table.snapshot().snapshotId
+    val fin = table.read().orderBy("conv_id", "turn_idx").collect()
+
+    val head = table.rollbackTo(s1)
+    assert(head === s2 + 1)
+    // the CURRENT read (head, not time travel) is back to the target state
+    assert(table.read().orderBy("conv_id", "turn_idx").collect().toSeq === mid.toSeq)
+    // gate reverted with the state
+    assert(table.snapshot().lastBatchId === 0L)
+    assert(table.snapshot().summary("rollback.to") === s1.toString)
+    // history is append-only: the rolled-back snapshot stays readable
+    assert(table.readAt(s2).orderBy("conv_id", "turn_idx").collect().toSeq === fin.toSeq)
+
+    // re-applying the undone batch is NOT skipped and converges to the
+    // same final state (what a checkpoint-resumed stream does)
+    val re = Ingest.applyBatch(spark, cfg, b1, 1L)
+    assert(!re.skipped)
+    assert(table.read().orderBy("conv_id", "turn_idx").collect().toSeq === fin.toSeq)
+    // ...and re-applying it AGAIN hits the reverted-then-advanced gate
+    assert(Ingest.applyBatch(spark, cfg, b1, 1L).skipped)
+  }
+
+  test("rollback head protects old files across expiry; race rebases (last rollback wins)") {
+    val root = tmpDir("rbgc")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
+      opts = Icelite.Options(compactThreshold = 0)) // CoW: later commits rewrite files
+    Ingest.applyBatch(spark, cfg, batchOf(ev("I", "c1", 0, "v1", 1, 1)), 0L)
+    val table = Icelite.load(spark, cfg.tablePath)
+    val s1 = table.snapshot().snapshotId
+    Ingest.applyBatch(spark, cfg, batchOf(ev("U", "c1", 0, "v2", 2, 2)), 1L)
+    table.rollbackTo(s1)
+    // expire every pre-rollback snapshot; the files the head re-references
+    // must survive the GC because the head still names them
+    table.expireSnapshots(keepLast = 1, orphanGraceMs = 0)
+    val r = table.read().collect()
+    assert(r.length === 1 && r.head.getAs[String]("text") === "v1")
+
+    // race: a competing commit lands inside the rollback's commit window;
+    // the rollback rebases onto it and still forces the target state
+    Ingest.applyBatch(spark, cfg, batchOf(ev("U", "c1", 0, "v3", 3, 3)), 2L)
+    val sTarget = table.snapshot().snapshotId // state with v3
+    Ingest.applyBatch(spark, cfg, batchOf(ev("U", "c1", 0, "v4", 4, 4)), 3L)
+    var raced = false
+    table.beforeCommit = () => if (!raced) {
+      raced = true
+      Ingest.applyBatch(spark, cfg, batchOf(ev("U", "c1", 0, "v5", 5, 5)), 4L)
+    }
+    table.rollbackTo(sTarget)
+    table.beforeCommit = () => ()
+    assert(raced)
+    assert(table.read().collect().head.getAs[String]("text") === "v3")
+  }
+
+  test("snapshotIdAsOf resolves timestamp time-travel; readAsOf reads it") {
+    val root = tmpDir("asof")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2)
+    Ingest.applyBatch(spark, cfg, batchOf(ev("I", "c1", 0, "v1", 1, 1)), 0L)
+    val table = Icelite.load(spark, cfg.tablePath)
+    val s1 = table.snapshot()
+    Thread.sleep(5) // distinct commit timestamps
+    Ingest.applyBatch(spark, cfg, batchOf(ev("U", "c1", 0, "v2", 2, 2)), 1L)
+    val s2 = table.snapshot()
+    assert(table.snapshotIdAsOf(s1.committedAtMs) === s1.snapshotId)
+    assert(table.snapshotIdAsOf(s2.committedAtMs - 1) === s1.snapshotId)
+    assert(table.snapshotIdAsOf(System.currentTimeMillis()) === s2.snapshotId)
+    assert(table.readAsOf(s1.committedAtMs).collect()
+      .head.getAs[String]("text") === "v1")
+    intercept[IllegalArgumentException](table.snapshotIdAsOf(s1.committedAtMs - 100000))
+  }
+
   test("changesSince survives a compaction triggered by a late low-seq batch") {
     val root = tmpDir("latecompact")
     val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 1,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, TextOps, Transforms}
+import graft.operators.{Ann, Dedup, IncrementalDedup, TextOps, Transforms}
 
 /** Unit semantics of the transform/text/dedup/similarity operators. */
 class OperatorsSpec extends SparkSpec {
@@ -307,5 +307,70 @@ class OperatorsSpec extends SparkSpec {
     val got = Seq("Hello, world42! x-1").toDF("t")
       .select(TextOps.bpeTokens($"t").as("b")).head().getSeq[String](0)
     assert(got === Seq("hello", ",", "world", "42", "!", "x", "-", "1"))
+  }
+
+  // ------------------------------------------------------------ incremental dedup
+
+  private def incDecisions(df: org.apache.spark.sql.DataFrame, work: String)
+      : Map[Long, (Boolean, Option[Long])] = {
+    val batches = (0 until 3).map(a =>
+      df.filter(pmod(col("doc_id"), lit(3)) === a))
+    IncrementalDedup.replay(spark, s"$work/idx", batches, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+  }
+
+  test("incremental dedup: in-batch, cross-batch via index, decision purity") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different content about distributed stream processing"
+    val df = Seq(
+      0L -> a, // batch 0, first arrival of a — kept
+      1L -> b, // batch 1, unique — kept
+      3L -> a, // batch 0, in-batch dup of 0
+      7L -> a, // batch 1, dup via INDEX (batch 0 already appended)
+      8L -> a // batch 2; earliest match is 0 even though 3 and 7 also match
+    ).toDF("doc_id", "text")
+    val d = incDecisions(df, tmpDir("incdedup"))
+    assert(d(0L) === ((true, None)))
+    assert(d(1L) === ((true, None)))
+    assert(d(3L) === ((false, Some(0L))), "same-batch earlier id wins")
+    assert(d(7L) === ((false, Some(0L))), "cross-batch match through the index")
+    // purity: 8 matches dropped docs 3 and 7 too, but dup_of is the
+    // EARLIEST (arrival, id) match — and dropped docs still count as
+    // earlier arrivals, so the decision never depends on keep/drop order
+    assert(d(8L) === ((false, Some(0L))))
+  }
+
+  test("incremental dedup: near (not exact) dup crosses batches; estimator threshold holds") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 40) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = Seq(0L -> base, 4L -> near, 5L -> far).toDF("doc_id", "text")
+    val d = incDecisions(df, tmpDir("incdedup2"))
+    assert(d(0L)._1 === true)
+    assert(d(4L) === ((false, Some(0L))), "one-token edit is a near-dup")
+    assert(d(5L)._1 === true, "disjoint shingles stay kept")
+  }
+
+  test("incremental dedup is sandwiched by exact-Jaccard ground truth") {
+    // single arrival batch ⇒ incremental reduces to plain estimator-LSH
+    // dedup with "earlier = smaller id". The estimator (45/64 matches ≈
+    // j=0.70) must (a) only drop docs that really have an earlier partner
+    // at j ≥ 0.6, and (b) drop every doc with an earlier partner at
+    // j ≥ 0.95 (E[matches] ≈ 61 ≫ 45)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val work = tmpDir("incdedup3")
+    val dec = IncrementalDedup.dedupeBatch(spark, s"$work/idx", docs, 0L,
+      "doc_id", "text")
+    val droppedInc = dec.filter(!col("kept")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(droppedInc.nonEmpty, "sf0.001 plants near-dups; some must drop")
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6).cache()
+    val laterLoose = truth.select("id_b").collect().map(_.getLong(0)).toSet
+    val laterTight = truth.filter(col("jaccard") >= 0.95)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    assert(droppedInc.subsetOf(laterLoose), "no false drops below j=0.6")
+    assert(laterTight.subsetOf(droppedInc), "j>=0.95 dups must all drop")
   }
 }
