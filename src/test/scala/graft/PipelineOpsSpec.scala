@@ -463,4 +463,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(winIdx < topIdx,
       s"rank Window must consume the top-k output, not the full agg:\n$plan")
   }
+
+  // ------------------------------------------------------------ incremental dedup
+
+  test("incremental dedup broadcasts the batch against the index (corpus never shuffles)") {
+    val work = tmpDir("incplan")
+    val mk = (ids: Seq[Long]) => ids.map(i => (i, s"txt $i one two three four"))
+      .toDF("doc_id", "text")
+    // seed the index with an arrival so the corpus join exists in batch 2
+    graft.operators.IncrementalDedup.dedupeBatch(
+      spark, s"$work/idx", mk(0L until 50L), 0L, "doc_id", "text")
+    val dec2 = graft.operators.IncrementalDedup.dedupeBatch(
+      spark, s"$work/idx", mk(100L until 120L), 1L, "doc_id", "text")
+    // the decision frame is localCheckpointed — the executed plan of the
+    // RUN is what matters; re-derive the corpus-join plan unmaterialized
+    val sigs = graft.operators.IncrementalDedup.signatures(
+      mk(100L until 120L), "doc_id", "text").withColumn("arrival", lit(1L))
+    val bnd = graft.operators.IncrementalDedup.banded(
+      sigs, graft.operators.Dedup.MinHashConfig())
+    val idx = spark.read.parquet(s"$work/idx/bands").filter($"arrival" < 1L)
+    val j = idx.as("i").join(broadcast(bnd.as("n")),
+      $"i.band" === $"n.band" && $"i.bkey" === $"n.bkey")
+    val plan = executed(j.select($"n.id"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch side must broadcast against the index scan:\n$plan")
+    // the probe (index/corpus) side — printed between the join node and
+    // the BroadcastExchange build side — must stream with no shuffle; the
+    // exchanges inside the build subtree aggregate only the small batch
+    val probe = plan.substring(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("BroadcastExchange"))
+    assert(exchanges(probe) === 0,
+      s"the index (corpus) side must stream with no shuffle:\n$plan")
+    assert(probe.contains("PushedFilters: [IsNotNull(arrival), LessThan(arrival,1)"),
+      s"the arrival guard must push into the index scan:\n$plan")
+    assert(dec2.count() === 20L)
+  }
 }
