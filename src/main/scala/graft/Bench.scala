@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Model
-import graft.operators.{Ann, Dedup, Lww}
+import graft.operators.{Ann, Dedup, IncrementalDedup, Lww}
 import graft.plans.Icelite
 import graft.sources.{Changelog, Gen}
 import graft.streaming.Ingest
@@ -237,6 +237,15 @@ object Bench {
     }
     run("dedup_simhash_sf") {
       Dedup.simHash(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    }
+    run("dedup_incremental_sf") {
+      // 3-batch arrival replay incl. index writes/reads (fresh index per
+      // evaluation — the block body is what once() times)
+      val work = workDir("graft-bench-incdedup")
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      val batches = (0 until 3).map(a =>
+        d.filter(pmod(col("doc_id"), lit(3)) === a))
+      IncrementalDedup.replay(spark, s"$work/idx", batches, "doc_id", "text")
     }
     run("ann_topk_sf") {
       Ann.bruteForceTopKFast(spark.read.parquet(s"$sfDir/embeddings.parquet"),
