@@ -245,6 +245,54 @@ class StreamingSpec extends SparkSpec {
     assert(table.snapshot().snapshotId <= sid + 1)
   }
 
+  test("streaming incremental dedup: per-trigger batches equal the batch replay decisions") {
+    // documents arrive as a stream; each micro-batch dedupes against the
+    // persisted index inside foreachBatch (batchId = arrival) — the same
+    // shape as the CDC ingest loop, and the decisions must be identical
+    // to driving the same batches through IncrementalDedup.replay
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.IncrementalDedup
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val work = tmpDir("incstream")
+    val mkDocs = (lo: Long, n: Int) =>
+      (lo until lo + n).map(i => (i, if (i % 5 == 0)
+        "the quick brown fox jumps over the lazy dog every day"
+      else s"unique doc $i with its own words ${i * 7} and ${i * 13}"))
+    val b0 = mkDocs(0L, 10)
+    val b1 = mkDocs(100L, 10)
+    val input = MemoryStream[(Long, String)]
+    val decisions = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Boolean, Option[Long])]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$work/ck")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val dec = IncrementalDedup.dedupeBatch(
+          spark, s"$work/idx", df, batchId, "doc_id", "text")
+        decisions ++= dec.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        ()
+      }.start()
+    try {
+      input.addData(b0: _*); q.processAllAvailable()
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = IncrementalDedup.replay(spark, s"${tmpDir("incbatch")}/idx",
+        Seq(b0.toDF("doc_id", "text"), b1.toDF("doc_id", "text")),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(decisions.toSet === batch)
+    // the repeated boilerplate text dedups across the trigger boundary:
+    // every %5 doc after the first collapses onto doc 0 through the index
+    val m = decisions.map(d => d._1 -> ((d._3, d._4))).toMap
+    assert(m(0L) === ((true, None)))
+    assert(m(5L) === ((false, Some(0L))), "in-trigger dup")
+    assert(m(100L) === ((false, Some(0L))), "cross-trigger dup via the index")
+    assert(m(101L) === ((true, None)), "unique docs stay kept")
+  }
+
   test("skewed stream (hot conversations) converges to the same state") {
     val root = tmpDir("st3")
     val ch = gen(3000, hot = 40).cache()
