@@ -88,8 +88,11 @@ object SparkEntry {
     * reproduce as `WHERE seq >= cutoff`. The cutoff segment is
     * `max(1, (maxSeg + 1) / 2)` — the same arithmetic the oracle SQL runs on
     * `max(seq)`, so both sides split the log at the identical event. */
-  private def replayHalves(spark: SparkSession, sfDir: String)
-      : (graft.plans.IceliteTable, Long) = {
+  /** @param wap open a write-audit-publish cycle at the cutoff: phase-2
+    *   batches land STAGED (tip advances, published view pinned at the
+    *   mid snapshot) — the caller audits and publishes. */
+  private def replayHalves(spark: SparkSession, sfDir: String,
+      wap: Boolean = false): (graft.plans.IceliteTable, Long) = {
     val work = Files.createTempDirectory("graft-halves").toString
     val binlog = s"$work/binlog"
     val ch = Changelog.fromEvents(spark, sfDir)
@@ -109,6 +112,7 @@ object SparkEntry {
     segs.filter(_ < cutSeg).foreach(apply1)
     val table = Icelite.load(spark, cfg.tablePath)
     val midSnap = table.snapshot().snapshotId
+    if (wap) table.wapBegin()
     segs.filter(_ >= cutSeg).foreach(apply1)
     (table, midSnap)
   }
@@ -142,6 +146,25 @@ object SparkEntry {
       val (table, midSnap) = replayHalves(s, dir)
       table.rollbackTo(midSnap)
       table.read().orderBy("conv_id", "turn_idx")
+    }),
+
+    // write-audit-publish over named refs (Iceberg branch/tag + WAP):
+    // phase 1 replays, wapBegin pins the published view, phase-2 commits
+    // land STAGED (the tip and the exactly-once gate advance; read() stays
+    // frozen), wapPublish flips readers atomically. The query emits BOTH
+    // views the cycle exposes — the frozen published read while staged
+    // ('audit' rows = the mid state) and the post-publish read
+    // ('published' rows = the full replay) — so the oracle checks the
+    // isolation AND the convergence in one result
+    "cdc_branch_wap" -> ((s, dir) => {
+      val (table, _) = replayHalves(s, dir, wap = true)
+      // read() resolves the published snapshot EAGERLY (file list baked
+      // into the plan), so this frame stays the frozen view even though
+      // it is evaluated after the publish below
+      val audit = table.read().withColumn("phase", lit("audit"))
+      table.wapPublish()
+      val published = table.read().withColumn("phase", lit("published"))
+      audit.unionByName(published).orderBy("phase", "conv_id", "turn_idx")
     }),
 
     // incremental scan (Iceberg incremental-read analogue): every row
@@ -1051,6 +1074,28 @@ object SparkEntry {
     // rollback republishes the mid-replay state as the HEAD, so the
     // current read equals the time-travel read of the target snapshot
     "cdc_rollback" -> duckMidStateSql,
+
+    // WAP: 'audit' rows = the table at the cutoff (the frozen published
+    // view while phase 2 is staged); 'published' rows = the full replay
+    "cdc_branch_wap" -> s"""
+      WITH ch AS (${Changelog.duckChangelogSql}),
+      b AS (SELECT greatest(1, (max(seq) // 4096 + 1) // 2) * 4096 AS cutoff FROM ch),
+      ranked_mid AS (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY event_ts DESC, seq DESC) AS rn
+        FROM ch WHERE seq < (SELECT cutoff FROM b)),
+      ranked_all AS (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY event_ts DESC, seq DESC) AS rn
+        FROM ch)
+      SELECT 'audit' AS phase, conv_id, turn_idx, role, text, tool, ts
+      FROM ranked_mid WHERE rn = 1 AND op <> 'D'
+      UNION ALL
+      SELECT 'published' AS phase, conv_id, turn_idx, role, text, tool, ts
+      FROM ranked_all WHERE rn = 1 AND op <> 'D'
+      ORDER BY phase, conv_id, turn_idx""",
 
     "cdc_changes_since" -> s"""
       WITH ch AS (${Changelog.duckChangelogSql}),

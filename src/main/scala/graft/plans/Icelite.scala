@@ -76,6 +76,13 @@ object Icelite {
       minSeq: Long,
       maxSeq: Long)
 
+  /** A named pointer into snapshot history (Iceberg branch/tag refs).
+    * `kind` is "tag" (immutable pin — protects its snapshot and files
+    * from [[IceliteTable.expireSnapshots]]) or "branch" (movable — the
+    * "main" branch, when present, is the PUBLISHED read view behind
+    * write-audit-publish, see [[IceliteTable.wapBegin]]). */
+  case class RefMeta(snapshotId: Long, kind: String)
+
   case class SnapshotMeta(
       snapshotId: Long,
       parentId: Long,
@@ -93,7 +100,12 @@ object Icelite {
         * [[readSnapshot]] always inflates, so in-memory `files` is complete
         * either way. Absent (None) in pre-manifest snapshots — old tables
         * read unchanged. */
-      manifestRef: Option[String] = None)
+      manifestRef: Option[String] = None,
+      /** Named refs (Iceberg-style), carried in table metadata so a ref
+        * change is itself an atomic snapshot commit and every commit's
+        * `base.copy` carries the map forward. Absent in pre-refs
+        * snapshots — old tables read unchanged (json4s default). */
+      refs: Map[String, RefMeta] = Map.empty)
 
   /** Per-merge counters. `inputRows`/`deletes` count raw change events in
     * the batch (pre-dedup — the deduped row counts live in the manifest's
@@ -156,6 +168,10 @@ object Icelite {
 
   private implicit val fmts: DefaultFormats = DefaultFormats
   private[plans] val BucketCol = "bkt"
+
+  /** The branch ref that, when present, IS the published read view
+    * ([[IceliteTable.publishedSnapshot]]). */
+  val PublishedRef = "main"
 
   /** THE bucket function — every site (bucketed write, batch stats, point
     * lookup) must agree on it or data mis-buckets relative to the
@@ -440,8 +456,27 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** Public read: live rows, public columns only. */
-  def read(): DataFrame = readLive(snapshot())
+  /** The snapshot read-side consumers serve from: the `main` branch ref
+    * when one exists (the PUBLISHED view — see [[wapBegin]]: commits
+    * staged after `wapBegin` are invisible here until [[wapPublish]]),
+    * else the tip. Writers, maintenance, and explicit time travel always
+    * address the tip / explicit ids. */
+  def publishedSnapshot(): SnapshotMeta = {
+    val tip = snapshot()
+    tip.refs.get(PublishedRef) match {
+      case Some(r) => snapshotAt(r.snapshotId)
+      case None => tip
+    }
+  }
+
+  /** Public read: live rows, public columns only, from the PUBLISHED view
+    * ([[publishedSnapshot]] — identical to the tip unless a
+    * write-audit-publish cycle is staging). */
+  def read(): DataFrame = readLive(publishedSnapshot())
+
+  /** Audit read: live rows at the TIP, staged commits included — what a
+    * WAP validation job inspects before deciding to publish. */
+  def readTip(): DataFrame = readLive(snapshot())
 
   /** Time-travel read — Iceberg `VERSION AS OF`: live rows, public columns,
     * exactly as they stood at snapshot `id`. Pure metadata dispatch: the old
@@ -474,7 +509,7 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     * and buckets holding only base generations skip LWW entirely, as in
     * [[read]]. */
   def lookup(convIds: Seq[String]): DataFrame = {
-    val snap = snapshot()
+    val snap = publishedSnapshot() // serving read — WAP-staged commits invisible
     val cur = schemaFor(snap, snap.currentSchemaId)
     val payload = payloadPart(cur)
     val byBucket = convIds.distinct
@@ -543,7 +578,9 @@ class IceliteTable(val spark: SparkSession, val root: String) {
   def changesSince(sid: Long): DataFrame = {
     val from = readSnapshot(root, sid)
     val fromMax = from.files.map(_.maxSeq).foldLeft(-1L)(math.max)
-    val snap = snapshot()
+    // incremental consumers are read-side: they must not observe commits a
+    // WAP cycle has staged but not published (same view rule as [[read]])
+    val snap = publishedSnapshot()
     val cur = schemaFor(snap, snap.currentSchemaId)
     // manifest pruning; a file with unknown maxSeq (-1) is never pruned
     val files = snap.files.filter(f => f.maxSeq < 0 || f.maxSeq > fromMax)
@@ -733,14 +770,19 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     val replaced = snap.files.filter(f => compactSet.contains(f.bucket)).map(_.path).toSet
     val nRows = stats.values.map(_._1).sum
     val nDel = stats.values.map(_._2).sum
-    def buildNext(base: SnapshotMeta): SnapshotMeta = SnapshotMeta(
-      base.snapshotId + 1, base.snapshotId, writerId, batchId, base.buckets,
-      schemas, schemaId,
-      base.files.filterNot(f => replaced.contains(f.path)) ++ newFiles,
-      Map("batch.rows" -> nRows.toString, "batch.deletes" -> nDel.toString,
+    // base.copy, NOT a positional construction: metadata fields this merge
+    // does not own (refs, and any future additions) must carry forward
+    def buildNext(base: SnapshotMeta): SnapshotMeta = base.copy(
+      snapshotId = base.snapshotId + 1, parentId = base.snapshotId,
+      writerId = writerId, lastBatchId = batchId,
+      schemas = schemas, currentSchemaId = schemaId,
+      files = base.files.filterNot(f => replaced.contains(f.path)) ++ newFiles,
+      summary = Map("batch.rows" -> nRows.toString,
+        "batch.deletes" -> nDel.toString,
         "buckets.touched" -> affected.size.toString,
         "buckets.compacted" -> compactSet.size.toString),
-      System.currentTimeMillis())
+      committedAtMs = System.currentTimeMillis(),
+      manifestRef = None) // writeSnapshot re-spills if the list is large
     commitWithRetry(buildNext(snap), latest =>
       if (writerId == latest.writerId && batchId <= latest.lastBatchId) None
       else if (latest.schemas != snap.schemas || latest.currentSchemaId != snap.currentSchemaId)
@@ -804,6 +846,131 @@ class IceliteTable(val spark: SparkSession, val root: String) {
 
   /** Time-travel read by wall-clock timestamp (`TIMESTAMP AS OF`). */
   def readAsOf(tsMs: Long): DataFrame = readAt(snapshotIdAsOf(tsMs))
+
+  // ---------------------------------------------------------------- refs
+
+  /** Current named refs (tip metadata). */
+  def refs(): Map[String, RefMeta] = snapshot().refs
+
+  /** Shared ref-mutation commit: a metadata-only snapshot (files/schema/
+    * gate carried from the base) whose `refs` map is `update(base.refs)`.
+    * Validation runs INSIDE the build so a rebase after losing a commit
+    * race re-validates against the winner (e.g. a tag created
+    * concurrently still errors instead of being clobbered). O(manifest)
+    * at any data scale, like rollback. */
+  private def refCommit(op: String, extra: Map[String, String])(
+      update: Map[String, RefMeta] => Map[String, RefMeta]): Long = {
+    def buildNext(base: SnapshotMeta): SnapshotMeta = base.copy(
+      snapshotId = base.snapshotId + 1,
+      parentId = base.snapshotId,
+      summary = Map("op" -> op) ++ extra,
+      committedAtMs = System.currentTimeMillis(),
+      manifestRef = None, // writeSnapshot re-spills if the list is large
+      refs = update(base.refs))
+    commitWithRetry(buildNext(snapshot()),
+      latest => Some(buildNext(latest))).get.snapshotId
+  }
+
+  private def requireRefName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"ref name must be [A-Za-z0-9._-]+ (got '$name')")
+
+  /** Create a ref (Iceberg `CREATE TAG` / `CREATE BRANCH`): `kind` is
+    * "tag" (immutable — re-pointing an existing tag throws; drop and
+    * recreate to move deliberately) or "branch" (movable via [[setRef]]
+    * again or [[fastForward]]). The target snapshot must exist; once
+    * ref'd it is protected from [[expireSnapshots]]. Returns the new
+    * (metadata) snapshot id. */
+  def setRef(name: String, snapshotId: Long, kind: String = "tag"): Long = {
+    requireRefName(name)
+    require(kind == "tag" || kind == "branch",
+      s"ref kind must be tag|branch (got '$kind')")
+    snapshotAt(snapshotId) // throws FileNotFoundException if expired/absent
+    refCommit("set-ref", Map("ref.name" -> name, "ref.kind" -> kind,
+        "ref.snapshot" -> snapshotId.toString)) { rs =>
+      rs.get(name).foreach { old =>
+        require(old.kind == kind,
+          s"ref '$name' already exists as a ${old.kind}")
+        require(kind != "tag" || old.snapshotId == snapshotId,
+          s"tag '$name' is immutable (pinned to ${old.snapshotId}); " +
+            "drop it first to re-point")
+      }
+      rs + (name -> RefMeta(snapshotId, kind))
+    }
+  }
+
+  /** Drop a ref; its snapshot loses expiry protection. Throws if absent
+    * (a silent no-op would hide typos). */
+  def dropRef(name: String): Long =
+    refCommit("drop-ref", Map("ref.name" -> name)) { rs =>
+      require(rs.contains(name), s"no such ref: '$name'")
+      rs - name
+    }
+
+  /** Advance a branch to a DESCENDANT snapshot (Iceberg `fast_forward`) —
+    * ancestry is verified by walking `parentId` from the target back to
+    * the branch's current position, so a branch can never silently jump
+    * to an unrelated or older state (use [[setRef]] on a dropped ref, or
+    * [[rollbackTo]], for deliberate resets). */
+  def fastForward(name: String, toSnapshotId: Long): Long = {
+    snapshotAt(toSnapshotId)
+    refCommit("fast-forward", Map("ref.name" -> name,
+        "ref.snapshot" -> toSnapshotId.toString)) { rs =>
+      val cur = rs.getOrElse(name,
+        throw new IllegalArgumentException(s"no such branch: '$name'"))
+      require(cur.kind == "branch", s"ref '$name' is a ${cur.kind}, not a branch")
+      var walk = toSnapshotId
+      while (walk > cur.snapshotId) walk = Try(snapshotAt(walk).parentId)
+        .getOrElse(throw new IllegalStateException(
+          s"cannot verify ancestry: snapshot $walk in the chain is expired"))
+      require(walk == cur.snapshotId,
+        s"$toSnapshotId is not a descendant of '$name' (at ${cur.snapshotId})")
+      rs + (name -> RefMeta(toSnapshotId, cur.kind))
+    }
+  }
+
+  /** Read the table as of a named ref (tag pin or branch head). */
+  def readRef(name: String): DataFrame = {
+    val r = refs().getOrElse(name,
+      throw new IllegalArgumentException(s"no such ref: '$name'"))
+    readAt(r.snapshotId)
+  }
+
+  /** Refs as a DataFrame — Iceberg's `table$refs` metadata table. */
+  def refsDf(): DataFrame = {
+    import spark.implicits._
+    refs().toSeq.sortBy(_._1)
+      .map { case (n, r) => (n, r.kind, r.snapshotId) }
+      .toDF("name", "kind", "snapshot_id")
+  }
+
+  // ------------------------------------------------------- write-audit-publish
+
+  /** Begin a write-audit-publish cycle: pin the PUBLISHED view
+    * ([[Icelite.PublishedRef]]) at the current head. Commits made after
+    * this are STAGED — they advance the tip (and the exactly-once gate,
+    * so a resumed stream never re-applies them) but stay invisible to
+    * [[read]]/[[lookup]]/[[changesSince]] until [[wapPublish]]. Audit
+    * jobs validate the staged state via [[readTip]]. Single-writer like
+    * every other commit; O(manifest) metadata-only. */
+  def wapBegin(): Long =
+    setRef(PublishedRef, snapshot().snapshotId, kind = "branch")
+
+  /** Publish: fast-forward the published view to the (audited) tip.
+    * Readers atomically switch from the pre-WAP state to everything
+    * staged since [[wapBegin]]. */
+  def wapPublish(): Long = fastForward(PublishedRef, snapshot().snapshotId)
+
+  /** Abort: roll the TIP back to the published state ([[rollbackTo]] —
+    * gate reverts with it, so the staged batches will be re-applied by a
+    * resumed stream after the operator fixes the input). The published
+    * ref itself never moved, so readers saw nothing throughout. */
+  def wapAbort(): Long = {
+    val r = refs().getOrElse(PublishedRef, throw new IllegalStateException(
+      s"no '$PublishedRef' ref — not inside a WAP cycle"))
+    rollbackTo(r.snapshotId)
+  }
 
   /** Maintenance compaction: rewrite every bucket carrying delta files into
     * a single base generation (the Iceberg `rewrite_data_files` analogue).
@@ -951,7 +1118,15 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       deepGc: Boolean = false): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val versions = listVersions(root)
-    val (drop, keep) = versions.splitAt(math.max(versions.size - keepLast, 0))
+    // ref'd snapshots (tags, branch heads — per the TIP's ref map) are
+    // PINNED: retention can never expire a tagged release or the
+    // published WAP view, however old (Iceberg's ref-aware expiry)
+    val pinned: Set[Long] = versions.lastOption
+      .map(v => readSnapshot(root, v).refs.values.map(_.snapshotId).toSet)
+      .getOrElse(Set.empty)
+    val (drop0, keep0) = versions.splitAt(math.max(versions.size - keepLast, 0))
+    val drop = drop0.filterNot(pinned.contains)
+    val keep = keep0 ++ drop0.filter(pinned.contains)
     val kept = keep.map(v => readSnapshot(root, v))
     val referenced: Set[String] = kept.flatMap(_.files.map(_.path)).toSet
     val referencedManifests: Set[String] = kept.flatMap(_.manifestRef).toSet
