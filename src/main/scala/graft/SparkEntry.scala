@@ -178,6 +178,26 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // outbound change-data feed (Delta CDF / Iceberg incremental-read
+    // analogue): tail the replayed table's commits as a Structured
+    // Streaming source (snapshot-id offsets) into a parquet sink; the
+    // drained feed must carry every committed row version, tombstones
+    // included, exactly as the declarative changelog says
+    "cdc_change_feed" -> ((s, dir) => {
+      val (table, _) = replayHalves(s, dir) // compaction off: all versions live
+      val work = Files.createTempDirectory("graft-feed-q").toString
+      val q = s.readStream
+        .format(classOf[graft.sources.IceliteChangeFeed].getName)
+        .option("root", table.root).load()
+        .writeStream.format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out").orderBy("seq")
+    }),
+
     // per-partition lineage (F10 / north rule): after a full replay, the
     // lineage table's per-batch totals — row counts and source seq
     // ranges — must equal what a declarative pass over the changelog says
@@ -544,6 +564,12 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.8)
         .orderBy("id_a", "id_b")),
+
+    // corpus-level exact SPAN dedup (C4/CCNet paragraph-dedup shape):
+    // 20-token spans, first corpus occurrence kept, docs reassembled
+    "dedup_paragraphs" -> ((s, dir) =>
+      Dedup.paragraphDedup(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text")
@@ -1105,6 +1131,13 @@ object SparkEntry {
       FROM ch WHERE seq >= (SELECT cutoff FROM b)
       ORDER BY seq""",
 
+    // the drained feed = the full changelog, every version, in seq order
+    "cdc_change_feed" -> s"""
+      WITH ch AS (${Changelog.duckChangelogSql})
+      SELECT conv_id, turn_idx, role, text, tool, ts, event_ts, seq,
+        (op = 'D') AS deleted
+      FROM ch ORDER BY seq""",
+
     "cdc_lineage_totals" -> s"""
       WITH ch AS (${Changelog.duckChangelogSql})
       SELECT seq // 4096 AS batch_id, count(*) AS n_rows,
@@ -1320,6 +1353,27 @@ object SparkEntry {
       FROM documents GROUP BY 1 ORDER BY fp""",
 
     "dedup_jaccard" -> duckJaccardPairs,
+
+    // exact span dedup: row_number-over-md5 keep-first is the declarative
+    // mirror of the engine's min-(id,pos)-per-digest window
+    "dedup_paragraphs" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      paras AS (
+        SELECT doc_id, i AS para_idx,
+               array_to_string(t[20*i+1 : 20*i+20], ' ') AS para
+        FROM toks, LATERAL (SELECT unnest(range(
+          greatest(CAST(ceil(len(t)/20.0) AS BIGINT), 1))) AS i) r),
+      marked AS (
+        SELECT doc_id, para_idx, para,
+               row_number() OVER (PARTITION BY md5(para)
+                 ORDER BY doc_id, para_idx) = 1 AS kept
+        FROM paras)
+      SELECT doc_id,
+        count(*) AS n_paras,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        coalesce(string_agg(CASE WHEN kept THEN para END, ' '
+          ORDER BY para_idx), '') AS text_kept
+      FROM marked GROUP BY doc_id ORDER BY doc_id""",
 
     // LSH banding at 16 bands × 4 rows has ~100% recall for the near-
     // identical pairs in this corpus; verified-exact output equals the

@@ -311,4 +311,54 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  // ------------------------------------------------------------ paragraphs
+
+  /** Corpus-level exact SPAN dedup (the C4 / CCNet / RefinedWeb
+    * paragraph-dedup shape): split every document into fixed
+    * `chunkTokens`-token spans, keep each distinct span's FIRST corpus
+    * occurrence (ordered by (id, span position)), drop later repeats, and
+    * reassemble each document from its surviving spans. This removes
+    * boilerplate repeated ACROSS documents — finer-grained than whole-doc
+    * dedup ([[exact]]) and complementary to near-dup ([[minHashLsh]]).
+    *
+    * Output: (id, n_paras, n_kept, text_kept) — one row per input doc,
+    * docs whose every span was seen earlier included with n_kept = 0.
+    *
+    * Scale shape (pinned by PipelineOpsSpec): exactly TWO exchanges, both
+    * unavoidable for a global first-occurrence rule — (1) spans shuffle
+    * by their 128-bit md5 (16-byte digest moves, not the span text, in
+    * the window's partitioning) for the min-(id,pos) resolution, (2) the
+    * surviving spans shuffle back by doc id for reassembly. No join: the
+    * kept flag rides the span row, so one groupBy emits counts and
+    * reassembled text together. At 10^10 spans the digest shuffle is the
+    * cost floor of ANY exact corpus-wide rule; per-partition state is one
+    * min struct per distinct span. */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkTokens: Int = 20): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1 (got $chunkTokens)")
+    val toks = split(col(textCol), " ")
+    // ceil(n/k) spans; empty/short docs still yield their single span
+    val nChunks = greatest(
+      ceil(size(toks).cast("double") / chunkTokens).cast("int"), lit(1))
+    val spans = docs.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+        .as(Seq("para_idx", "para")))
+    val me = struct(col("id"), col("para_idx"))
+    val marked = spans
+      .withColumn("kept",
+        // min over the digest partition = global first occurrence; an
+        // unordered window aggregate, so no per-partition sort
+        me === min(me).over(Window.partitionBy(md5(col("para")))))
+    marked.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips nulls: only surviving spans ride into the
+        // sort-by-position reassembly
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("para_idx"), col("para"))))),
+          s => s("para")), " ").as("text_kept"))
+  }
 }

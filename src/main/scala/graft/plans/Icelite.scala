@@ -575,12 +575,23 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     * O(new data), not O(table). Rows are raw versions (a key may repeat);
     * run [[graft.operators.Lww.latest]] on the result for net changes.
     */
-  def changesSince(sid: Long): DataFrame = {
-    val from = readSnapshot(root, sid)
-    val fromMax = from.files.map(_.maxSeq).foldLeft(-1L)(math.max)
+  def changesSince(sid: Long): DataFrame =
     // incremental consumers are read-side: they must not observe commits a
     // WAP cycle has staged but not published (same view rule as [[read]])
-    val snap = publishedSnapshot()
+    changesBetween(sid, publishedSnapshot().snapshotId)
+
+  /** [[changesSince]] with an explicit upper snapshot — the deterministic
+    * form the change-feed stream ([[graft.sources.IceliteChangeFeed]])
+    * plans its micro-batches from: every row version with `_seq` above
+    * snapshot `fromSid`'s highest, planned from snapshot `toSid`'s OWN
+    * manifest (so commits landing after `toSid` never leak into an
+    * already-committed batch). Same at-least-once caveat as
+    * [[changesSince]]: a compaction inside the range collapses superseded
+    * intermediate versions into their surviving winners. */
+  def changesBetween(fromSid: Long, toSid: Long): DataFrame = {
+    val from = readSnapshot(root, fromSid)
+    val fromMax = from.files.map(_.maxSeq).foldLeft(-1L)(math.max)
+    val snap = readSnapshot(root, toSid)
     val cur = schemaFor(snap, snap.currentSchemaId)
     // manifest pruning; a file with unknown maxSeq (-1) is never pruned
     val files = snap.files.filter(f => f.maxSeq < 0 || f.maxSeq > fromMax)

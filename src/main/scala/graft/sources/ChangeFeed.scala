@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graft.StreamingBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.plans.Icelite
+
+/** Outbound CDC: tail an icelite table's COMMITS as a Structured
+  * Streaming source (the Delta change-data-feed / Iceberg incremental
+  * read analogue, downstream-facing where [[Changelog.binlogStream]] is
+  * upstream-facing). Offsets are snapshot ids — monotone, checkpointable,
+  * and resolved against the PUBLISHED view, so a write-audit-publish
+  * cycle holds the feed back with every other reader until it publishes.
+  * Each micro-batch is `changesBetween(start, end)`: planned from the end
+  * snapshot's own manifest with per-file seq-range pruning, so a trigger
+  * reads O(new data), never O(table).
+  *
+  * {{{
+  * spark.readStream.format(classOf[IceliteChangeFeed].getName)
+  *   .option("root", tableRoot).load()   // payload + event_ts/seq/deleted
+  * }}}
+  *
+  * V1 `Source` by design, not DSv2: `getBatch` returns a DataFrame, so
+  * batches reuse the table's vectorized parquet scan, pushed filters, and
+  * whole-stage codegen — a DSv2 `PartitionReader` would mean hand-rolling
+  * a row-oriented parquet reader on executors (the `FileStreamSource` /
+  * Delta `DeltaSource` precedent; the one internal seam it needs is
+  * [[org.apache.spark.sql.graft.StreamingBridge]]).
+  *
+  * Contracts: net-effect at-least-once — a compaction inside a batch
+  * range collapses superseded intermediate versions into their surviving
+  * winners (every key's final state always flows). Schema is pinned at
+  * stream start; a mid-stream schema evolution fails the query with a
+  * restart instruction (the [[graft.streaming.SchemaSentinel]] pattern —
+  * the restarted query picks up the widened schema). A `from` snapshot
+  * already retired by `expireSnapshots` fails the query: re-seed with
+  * `startingSnapshotId` or widen retention.
+  */
+class IceliteChangeFeed extends StreamSourceProvider with DataSourceRegister {
+  import IceliteChangeFeed._
+
+  override def shortName(): String = "icelite-feed"
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), publicSchema(
+      Icelite.load(sqlContext.sparkSession, rootOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangeFeedSource(sqlContext, rootOf(parameters),
+      parameters.get("startingSnapshotId").map(_.toLong).getOrElse(0L))
+}
+
+object IceliteChangeFeed {
+  private[sources] def rootOf(parameters: Map[String, String]): String =
+    parameters.get("root").orElse(parameters.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "option 'root' (icelite table root) is required"))
+
+  /** The feed's public row shape: payload columns + the lineage triple
+    * under its external names (the [[graft.plans.IceliteTable.changesSince]]
+    * consumer convention — `event_ts`, `seq`, `deleted`). */
+  private[sources] def publicSchema(table: graft.plans.IceliteTable): StructType = {
+    import org.apache.spark.sql.types._
+    val full = table.currentSchema()
+    StructType(full.fields.filterNot(f => f.name.startsWith("_")).toSeq ++ Seq(
+      StructField("event_ts", TimestampType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("deleted", BooleanType, nullable = false)))
+  }
+
+  private[sources] def rename(df: DataFrame): DataFrame = df
+    .withColumnRenamed("_event_ts", "event_ts")
+    .withColumnRenamed("_seq", "seq")
+    .withColumnRenamed("_deleted", "deleted")
+}
+
+private class ChangeFeedSource(sql: SQLContext, root: String, startSid: Long)
+    extends Source {
+  import IceliteChangeFeed._
+
+  private val table = Icelite.load(sql.sparkSession, root)
+
+  /** Pinned at stream start — see the schema-evolution contract above. */
+  override val schema: StructType = publicSchema(table)
+
+  override def getOffset: Option[Offset] =
+    Some(LongOffset(table.publishedSnapshot().snapshotId))
+
+  private def sid(o: Offset): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromSid = start.map(sid).getOrElse(startSid)
+    val batch = rename(table.changesBetween(fromSid, sid(end)))
+    // name+type comparison: scans surface everything nullable, which is
+    // not an evolution
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    if (shape(batch.schema) != shape(schema))
+      throw new IllegalStateException(
+        s"icelite-feed: table schema evolved mid-stream at $root " +
+          s"(stream pinned ${schema.simpleString}, batch has " +
+          s"${batch.schema.simpleString}); restart the query to adopt it")
+    StreamingBridge.asStreamingBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"IceliteChangeFeed[$root]"
+}

@@ -42,6 +42,11 @@ import graft.streaming.Ingest
   *   rollback toSnapshot=<id>|asOfMs=<epochMs> reverts table state AND
   *   the exactly-once gate to a past snapshot (append-only metadata
   *   commit; the resumed stream re-applies the undone batches)
+  *   mode=feed out=<dir> — OUTBOUND change-data-feed tail
+  *   ([[graft.sources.IceliteChangeFeed]]): stream the table's commits
+  *   (published view) into a parquet sink for a downstream consumer;
+  *   startingSnapshotId=<id> seeds a later start, trigger=availableNow
+  *   drains and stops, intervalMs/stopAfterMs as for continuous
   *   mode=files|snapshots [limit=<n>] — print the metadata tables
   *   ([[graft.plans.IceliteTable.filesDf]]/`snapshotsDf`): per-file
   *   bucket/kind/rows/seq-range, per-snapshot commit metadata
@@ -116,7 +121,7 @@ object IngestMain {
   private val MaintenanceModes = Set("compact", "rebucket", "expire",
     "lineage-rollup", "rollback", "files", "snapshots")
   /** modes that read no binlog dir (maintenance + non-binlog sources) */
-  private val NoBinlogModes = MaintenanceModes ++ Set("shards", "kafka")
+  private val NoBinlogModes = MaintenanceModes ++ Set("shards", "kafka", "feed")
 
   /** Build the S10 consume source config from CLI args — the executable
     * pipeline itself lives in [[graft.sources.KafkaIo]] (capability-
@@ -227,6 +232,36 @@ object IngestMain {
               kv.getOrElse("intervalMs", "2000").toLong)
           Ingest.runStreamSource(spark, cfg, kafkaSource(spark, kv),
             trigger, kv.get("stopAfterMs").map(_.toLong))
+        case "feed" =>
+          // outbound CDC tail (mirror of the ingest modes): the table's
+          // own commits stream OUT through the change feed into a parquet
+          // sink — what a downstream consumer (search indexer, cache,
+          // replica) runs. Long-running by default; trigger=availableNow
+          // drains and stops (backfill / smoke runs)
+          val out = kv.getOrElse("out", throw new IllegalArgumentException(
+            "mode=feed needs out=<dir> (parquet sink path)"))
+          val trigger =
+            if (kv.get("trigger").contains("availableNow"))
+              org.apache.spark.sql.streaming.Trigger.AvailableNow()
+            else org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+              kv.getOrElse("intervalMs", "2000").toLong)
+          val q = spark.readStream
+            .format(classOf[graft.sources.IceliteChangeFeed].getName)
+            .option("root", cfg.tablePath)
+            .option("startingSnapshotId", kv.getOrElse("startingSnapshotId", "0"))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cfg.checkpointDir)
+            .trigger(trigger)
+            .start()
+          kv.get("stopAfterMs").map(_.toLong) match {
+            case Some(ms) =>
+              q.awaitTermination(ms)
+              if (q.isActive) q.stop()
+              q.awaitTermination()
+            case None => q.awaitTermination()
+          }
         case "continuous" => Ingest.runStream(spark, cfg, binlog,
           org.apache.spark.sql.streaming.Trigger.ProcessingTime(
             kv.getOrElse("intervalMs", "2000").toLong),

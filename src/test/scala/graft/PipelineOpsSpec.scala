@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Decontam, Sampling, Temporal, TextOps}
+import graft.operators.{Ann, Decontam, Dedup, Sampling, Temporal, TextOps}
 
 /** Semantics + plan-shape of the temporal/sampling/quantization/vocabulary
   * pipeline operators added in round 4. */
@@ -497,5 +497,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(probe.contains("PushedFilters: [IsNotNull(arrival), LessThan(arrival,1)"),
       s"the arrival guard must push into the index scan:\n$plan")
     assert(dec2.count() === 20L)
+  }
+
+  // ------------------------------------------------------- paragraph dedup
+
+  test("paragraphDedup: keep-first across corpus, reassembly, empty survivors") {
+    val docs = Seq(
+      (0L, "a b c d e f"),       // both spans first occurrences
+      (1L, "a b c x y z"),       // span 0 repeats doc 0's; span 1 unique
+      (2L, "d e f a b c"),       // every span seen earlier -> nothing kept
+      (3L, "x y z q")            // dup span + short 1-token tail span
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text", chunkTokens = 3)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 2L, "a b c d e f"),
+      (1L, 2L, 1L, "x y z"),
+      (2L, 2L, 0L, ""),
+      (3L, 2L, 1L, "q")))
+  }
+
+  test("paragraphDedup is two exchanges (digest window + doc reassembly)") {
+    val docs = Seq((0L, "a b c d e f"), (1L, "a b c x y z"))
+      .toDF("doc_id", "text")
+    val plan = executed(Dedup.paragraphDedup(docs, "doc_id", "text", 3))
+    // the global first-occurrence rule costs exactly one digest-keyed
+    // shuffle; reassembly one doc-keyed shuffle — no join, nothing else
+    assert(exchanges(plan) === 2, s"expected exactly 2 exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"paragraphDedup must not plan a join:\n$plan")
   }
 }

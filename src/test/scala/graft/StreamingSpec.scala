@@ -245,6 +245,62 @@ class StreamingSpec extends SparkSpec {
     assert(table.snapshot().snapshotId <= sid + 1)
   }
 
+  test("icelite change feed: snapshot offsets, checkpointed resume, WAP gating") {
+    import graft.sources.IceliteChangeFeed
+    import spark.implicits._
+    val root = tmpDir("feed")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 4,
+      opts = Icelite.Options(compactThreshold = 100)) // keep every version
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    def ev(op: String, conv: String, turn: Int, text: String, sec: Long, seq: Long) =
+      graft.model.Model.ChangeEvent(op, conv, turn,
+        if (op == "D") null else "user", if (op == "D") null else text, null,
+        if (op == "D") null else ts(sec), ts(sec), seq)
+    def batch(b: Int) = spark.createDataset((0 until 20).map(i =>
+      ev(if (b == 3 && i == 7) "D" else if (i % 7 == 0 && b > 0) "U" else "I",
+        s"c${i % 5}", i, s"t$b-$i", b * 100 + i, b * 1000 + i))).toDF()
+
+    Ingest.replay(spark, cfg, Seq(batch(0), batch(1)))
+    val table = Icelite.load(spark, cfg.tablePath)
+
+    def drain(): Unit = {
+      val q = spark.readStream.format(classOf[IceliteChangeFeed].getName)
+        .option("root", cfg.tablePath).load()
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/feedck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def out() = spark.read.parquet(s"$root/out")
+
+    drain()
+    assert(out().count() === 40) // every committed row version flowed
+    assert(out().columns.sorted.toSeq === Seq("conv_id", "deleted", "event_ts",
+      "role", "seq", "text", "tool", "ts", "turn_idx"))
+
+    // feed resumes from the checkpointed snapshot offset: only new commits
+    Ingest.applyBatch(spark, cfg, batch(2), batchId = 2)
+    drain()
+    assert(out().count() === 60)
+
+    // WAP gating: staged commits are invisible to the feed until publish
+    table.wapBegin()
+    Ingest.applyBatch(spark, cfg, batch(3), batchId = 3)
+    drain()
+    assert(out().count() === 60) // unchanged — batch 3 is staged
+    table.wapPublish()
+    drain()
+    assert(out().count() === 80)
+    // the delete flowed as a tombstone row, not a dropped row
+    assert(out().filter(col("deleted")).count() === 1)
+
+    // idle feed: draining again moves nothing
+    drain()
+    assert(out().count() === 80)
+  }
+
   test("streaming incremental dedup: per-trigger batches equal the batch replay decisions") {
     // documents arrive as a stream; each micro-batch dedupes against the
     // persisted index inside foreachBatch (batchId = arrival) — the same
