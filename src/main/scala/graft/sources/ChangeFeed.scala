@@ -69,7 +69,11 @@ object IceliteChangeFeed {
     * consumer convention — `event_ts`, `seq`, `deleted`). */
   private[sources] def publicSchema(table: graft.plans.IceliteTable): StructType = {
     import org.apache.spark.sql.types._
-    val full = table.currentSchema()
+    // PUBLISHED schema, matching the view the batches resolve — a schema
+    // evolution staged mid-WAP must not pin an unpublished shape
+    val snap = table.publishedSnapshot()
+    val full = org.apache.spark.sql.types.DataType
+      .fromJson(snap.schemas(snap.currentSchemaId)).asInstanceOf[StructType]
     StructType(full.fields.filterNot(f => f.name.startsWith("_")).toSeq ++ Seq(
       StructField("event_ts", TimestampType, nullable = false),
       StructField("seq", LongType, nullable = false),

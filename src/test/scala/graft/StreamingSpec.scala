@@ -301,6 +301,84 @@ class StreamingSpec extends SparkSpec {
     assert(out().count() === 80)
   }
 
+  test("change feed drives incremental near-dup dedup (CDC corpus, no re-scan)") {
+    import graft.operators.IncrementalDedup
+    import graft.sources.IceliteChangeFeed
+    import spark.implicits._
+    val root = tmpDir("feeddedup")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 4,
+      opts = Icelite.Options(compactThreshold = 100))
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    // 20-token texts: a single changed LAST token alters exactly one
+    // 3-shingle (j ≈ 0.89 — well above the ceil(0.7·64)=45 match
+    // threshold with margin for estimator noise)
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+        "nu xi omicron pi rho sigma tau upsilon",
+      "one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty",
+      "red orange yellow green blue indigo violet cyan magenta teal maroon " +
+        "navy olive coral amber jade ruby pearl onyx slate")
+    def doc(conv: String, turn: Int, text: String, seq: Long) =
+      graft.model.Model.ChangeEvent("I", conv, turn, "user", text, null,
+        ts(seq), ts(seq), seq)
+    val b0 = Seq(doc("a", 0, base(0), 1), doc("a", 1, base(1), 2),
+      doc("b", 0, base(2), 3))
+    val b1 = Seq(
+      doc("c", 0, base(0).replace("upsilon", "phi"), 10), // near-dup of a#0
+      doc("c", 1, "totally different words appear in this very sentence " +
+        "so nothing here can possibly collide with any earlier document text", 11))
+    val b2 = Seq(
+      doc("d", 0, base(1), 20),                           // exact dup of a#1
+      doc("d", 1, base(2).replace("slate", "black"), 21)) // near-dup of b#0
+
+    def docsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(concat_ws("#", col("conv_id"), col("turn_idx")).as("id"), col("text"))
+
+    // the CDC-shaped corpus pipeline: transcripts arrive through the
+    // table, the change feed streams them OUT, and each feed micro-batch
+    // deduplicates against the persisted signature index — the corpus is
+    // never re-scanned, and the feed's batch id is the arrival
+    val decisions = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Boolean, Option[String])]
+    def drain(): Unit = {
+      val q = spark.readStream.format(classOf[IceliteChangeFeed].getName)
+        .option("root", cfg.tablePath).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val docs = docsOf(df.filter(!col("deleted")))
+          if (!docs.isEmpty)
+            decisions ++= IncrementalDedup
+              .dedupeBatch(spark, s"$root/idx", docs, bid, "id", "text")
+              .collect()
+              .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+                Option(r.getString(3))))
+          ()
+        }
+        .option("checkpointLocation", s"$root/fck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Ingest.applyBatch(spark, cfg, spark.createDataset(b0).toDF(), 0); drain()
+    Ingest.applyBatch(spark, cfg, spark.createDataset(b1).toDF(), 1); drain()
+    Ingest.applyBatch(spark, cfg, spark.createDataset(b2).toDF(), 2); drain()
+
+    // the right documents were dropped, each against its true original
+    val dropped = decisions.filter(!_._3).map(d => (d._1, d._4.get)).toSet
+    assert(dropped === Set(("c#0", "a#0"), ("d#0", "a#1"), ("d#1", "b#0")))
+
+    // and the streamed decisions equal a batch replay of the same
+    // arrival partitioning through a fresh index
+    val want = IncrementalDedup.replay(spark, s"$root/idx2",
+        Seq(b0, b1, b2).map(evs => docsOf(spark.createDataset(evs).toDF())),
+        "id", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        Option(r.getString(3)))).toSet
+    assert(decisions.toSet === want)
+  }
+
   test("streaming incremental dedup: per-trigger batches equal the batch replay decisions") {
     // documents arrive as a stream; each micro-batch dedupes against the
     // persisted index inside foreachBatch (batchId = arrival) — the same
