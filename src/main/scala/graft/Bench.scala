@@ -256,6 +256,38 @@ object Bench {
         "vec_id", "embedding", 5)
     }
 
+    // ---- outbound change-feed drain (sources.IceliteChangeFeed) -------
+    // the outbound half of the CDC story: how fast a downstream consumer
+    // drains a table's committed history through the streaming feed.
+    // Table = one replay of a fresh headline-sized binlog; drain = one
+    // Trigger.AvailableNow run into a noop sink (best-of-2, fresh
+    // checkpoint each — run 1 pays source codegen). Rows drained = the
+    // manifest's surviving row versions (compaction collapsed the rest).
+    {
+      val feedWork = workDir("graft-bench-feed")
+      val feedBinlog = writeBenchBinlog(spark, events, 0, feedWork)
+      replayBinlog(spark, feedBinlog, feedWork, cpus, verifyCount = false)
+      val drained = Icelite.load(spark, s"$feedWork/table").snapshot()
+        .files.map(f => math.max(f.rows, 0L)).sum
+      def drainOnce(r: Int): Double = {
+        val t0 = System.nanoTime()
+        val q = spark.readStream
+          .format(classOf[graft.sources.IceliteChangeFeed].getName)
+          .option("root", s"$feedWork/table").load()
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$feedWork/feedck-$r")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val secs = math.min(drainOnce(0), drainOnce(1))
+      results("feed_drain_sf") = secs
+      extra("feed_rows_drained") = drained.toDouble
+      extra("feed_rows_per_sec") = drained / secs
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(feedWork))
+    }
+
     spark.stop()
 
     // ---- cluster scaling (north rule: N vs 4N EXECUTORS, real JVMs) ----

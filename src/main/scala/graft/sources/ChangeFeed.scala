@@ -31,6 +31,10 @@ import graft.plans.Icelite
   * Delta `DeltaSource` precedent; the one internal seam it needs is
   * [[org.apache.spark.sql.graft.StreamingBridge]]).
   *
+  * `Trigger.AvailableNow` runs as Spark's documented V1 fallback (single
+  * batch of everything committed at query start, then stop) — exactly a
+  * drain's semantics; long-running tails use `Trigger.ProcessingTime`.
+  *
   * Contracts: net-effect at-least-once — a compaction inside a batch
   * range collapses superseded intermediate versions into their surviving
   * winners (every key's final state always flows). Schema is pinned at
