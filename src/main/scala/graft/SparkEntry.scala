@@ -1357,7 +1357,9 @@ object SparkEntry {
     // exact span dedup: row_number-over-md5 keep-first is the declarative
     // mirror of the engine's min-(id,pos)-per-digest window
     "dedup_paragraphs" -> """
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      WITH toks AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+        FROM documents),
       paras AS (
         SELECT doc_id, i AS para_idx,
                array_to_string(t[20*i+1 : 20*i+20], ' ') AS para

@@ -337,7 +337,10 @@ object Dedup {
   def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", chunkTokens: Int = 20): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1 (got $chunkTokens)")
-    val toks = split(col(textCol), " ")
+    // null text reads as empty: the doc still emits its (empty) span row,
+    // honoring the one-row-per-input-doc contract — split(null) would
+    // posexplode to zero rows and silently drop the document
+    val toks = split(coalesce(col(textCol), lit("")), " ")
     // ceil(n/k) spans; empty/short docs still yield their single span
     val nChunks = greatest(
       ceil(size(toks).cast("double") / chunkTokens).cast("int"), lit(1))

@@ -870,14 +870,14 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     * concurrently still errors instead of being clobbered). O(manifest)
     * at any data scale, like rollback. */
   private def refCommit(op: String, extra: Map[String, String])(
-      update: Map[String, RefMeta] => Map[String, RefMeta]): Long = {
+      update: SnapshotMeta => Map[String, RefMeta]): Long = {
     def buildNext(base: SnapshotMeta): SnapshotMeta = base.copy(
       snapshotId = base.snapshotId + 1,
       parentId = base.snapshotId,
       summary = Map("op" -> op) ++ extra,
       committedAtMs = System.currentTimeMillis(),
       manifestRef = None, // writeSnapshot re-spills if the list is large
-      refs = update(base.refs))
+      refs = update(base))
     commitWithRetry(buildNext(snapshot()),
       latest => Some(buildNext(latest))).get.snapshotId
   }
@@ -899,7 +899,8 @@ class IceliteTable(val spark: SparkSession, val root: String) {
       s"ref kind must be tag|branch (got '$kind')")
     snapshotAt(snapshotId) // throws FileNotFoundException if expired/absent
     refCommit("set-ref", Map("ref.name" -> name, "ref.kind" -> kind,
-        "ref.snapshot" -> snapshotId.toString)) { rs =>
+        "ref.snapshot" -> snapshotId.toString)) { base =>
+      val rs = base.refs
       rs.get(name).foreach { old =>
         require(old.kind == kind,
           s"ref '$name' already exists as a ${old.kind}")
@@ -914,9 +915,9 @@ class IceliteTable(val spark: SparkSession, val root: String) {
   /** Drop a ref; its snapshot loses expiry protection. Throws if absent
     * (a silent no-op would hide typos). */
   def dropRef(name: String): Long =
-    refCommit("drop-ref", Map("ref.name" -> name)) { rs =>
-      require(rs.contains(name), s"no such ref: '$name'")
-      rs - name
+    refCommit("drop-ref", Map("ref.name" -> name)) { base =>
+      require(base.refs.contains(name), s"no such ref: '$name'")
+      base.refs - name
     }
 
   /** Advance a branch to a DESCENDANT snapshot (Iceberg `fast_forward`) —
@@ -927,7 +928,8 @@ class IceliteTable(val spark: SparkSession, val root: String) {
   def fastForward(name: String, toSnapshotId: Long): Long = {
     snapshotAt(toSnapshotId)
     refCommit("fast-forward", Map("ref.name" -> name,
-        "ref.snapshot" -> toSnapshotId.toString)) { rs =>
+        "ref.snapshot" -> toSnapshotId.toString)) { base =>
+      val rs = base.refs
       val cur = rs.getOrElse(name,
         throw new IllegalArgumentException(s"no such branch: '$name'"))
       require(cur.kind == "branch", s"ref '$name' is a ${cur.kind}, not a branch")
@@ -964,23 +966,47 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     * so a resumed stream never re-applies them) but stay invisible to
     * [[read]]/[[lookup]]/[[changesSince]] until [[wapPublish]]. Audit
     * jobs validate the staged state via [[readTip]]. Single-writer like
-    * every other commit; O(manifest) metadata-only. */
+    * every other commit; O(manifest) metadata-only.
+    *
+    * Throws if a cycle is already open (the `main` ref exists) — a retry
+    * of a crashed orchestration must NOT re-pin at the staged tip, which
+    * would instantly publish the unaudited commits; publish or abort the
+    * open cycle first. The guard re-validates inside the commit retry, so
+    * a raced competing wapBegin cannot slip through. */
   def wapBegin(): Long =
-    setRef(PublishedRef, snapshot().snapshotId, kind = "branch")
+    refCommit("wap-begin", Map("ref.name" -> PublishedRef)) { base =>
+      base.refs.get(PublishedRef).foreach { r =>
+        throw new IllegalStateException(
+          s"a WAP cycle is already open ('$PublishedRef' pinned at " +
+            s"${r.snapshotId}); wapPublish or wapAbort it first")
+      }
+      // pin at the commit's own base = the pre-WAP head, even if this
+      // commit raced others and rebased onto a newer tip
+      base.refs + (PublishedRef -> RefMeta(base.snapshotId, "branch"))
+    }
 
-  /** Publish: fast-forward the published view to the (audited) tip.
-    * Readers atomically switch from the pre-WAP state to everything
-    * staged since [[wapBegin]]. */
-  def wapPublish(): Long = fastForward(PublishedRef, snapshot().snapshotId)
+  /** Publish and CLOSE the cycle: one atomic metadata commit drops the
+    * `main` pin, so readers switch from the pre-WAP state to the full
+    * staged tip AND subsequent normal commits are immediately visible
+    * again (the pin does not outlive the cycle — a forgotten pin would
+    * freeze every reader forever). For a permanently pinned published
+    * view, manage a branch ref directly with [[setRef]]/[[fastForward]]. */
+  def wapPublish(): Long =
+    refCommit("wap-publish", Map("ref.name" -> PublishedRef)) { base =>
+      require(base.refs.get(PublishedRef).exists(_.kind == "branch"),
+        s"no '$PublishedRef' ref — not inside a WAP cycle")
+      base.refs - PublishedRef
+    }
 
-  /** Abort: roll the TIP back to the published state ([[rollbackTo]] —
-    * gate reverts with it, so the staged batches will be re-applied by a
-    * resumed stream after the operator fixes the input). The published
-    * ref itself never moved, so readers saw nothing throughout. */
+  /** Abort and close: roll the TIP back to the published state
+    * ([[rollbackTo]] — gate reverts with it, so the staged batches will
+    * be re-applied by a resumed stream after the operator fixes the
+    * input), then drop the pin. Readers saw nothing throughout. */
   def wapAbort(): Long = {
     val r = refs().getOrElse(PublishedRef, throw new IllegalStateException(
       s"no '$PublishedRef' ref — not inside a WAP cycle"))
     rollbackTo(r.snapshotId)
+    dropRef(PublishedRef)
   }
 
   /** Maintenance compaction: rewrite every bucket carrying delta files into

@@ -42,7 +42,11 @@ import graft.plans.Icelite
   * restart instruction (the [[graft.streaming.SchemaSentinel]] pattern —
   * the restarted query picks up the widened schema). A `from` snapshot
   * already retired by `expireSnapshots` fails the query: re-seed with
-  * `startingSnapshotId` or widen retention.
+  * `startingSnapshotId` or widen retention. A ROLLBACK below the feed's
+  * seq watermark also fails the query with a re-seed instruction (the
+  * re-applied batches reuse seq numbers the watermark covers — flowing
+  * past it would silently skip them); a `wapAbort` of staged-only
+  * commits is detected as safe and passes.
   */
 class IceliteChangeFeed extends StreamSourceProvider with DataSourceRegister {
   import IceliteChangeFeed._
@@ -106,7 +110,35 @@ private class ChangeFeedSource(sql: SQLContext, root: String, startSid: Long)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromSid = start.map(sid).getOrElse(startSid)
-    val batch = rename(table.changesBetween(fromSid, sid(end)))
+    val toSid = sid(end)
+    // rollback guard: a rollback whose target predates the feed's seq
+    // watermark means the undone batches will be RE-APPLIED with seq
+    // numbers the watermark already covers — changesBetween would filter
+    // them and the downstream replica would silently keep stale data.
+    // Fail with the re-seed instruction instead. A rollback at-or-above
+    // the watermark (e.g. a wapAbort of commits this feed, reading the
+    // published view, never saw) is safe and passes. Detection walks the
+    // snapshot range (driver metadata, LRU-cached, O(commits/trigger));
+    // rollback snapshots replicate their target's manifest, so the
+    // target's watermark is read off the rollback snapshot itself.
+    if (start.isDefined) {
+      val fromMax = table.snapshotAt(fromSid).files
+        .map(_.maxSeq).foldLeft(-1L)(math.max)
+      ((fromSid + 1) to toSid).foreach { v =>
+        scala.util.Try(table.snapshotAt(v)).toOption.foreach { sn =>
+          val targetMax = sn.files.map(_.maxSeq).foldLeft(-1L)(math.max)
+          if (sn.summary.get("op").contains("rollback") && targetMax < fromMax)
+            throw new IllegalStateException(
+              s"icelite-feed: table at $root was rolled back (snapshot $v" +
+                s" -> ${sn.summary.getOrElse("rollback.to", "?")}) below this " +
+                s"feed's seq watermark ($targetMax < $fromMax); re-applied " +
+                "changes would be silently skipped. Re-seed the feed: fresh " +
+                "checkpoint with startingSnapshotId at or before the " +
+                "rollback target.")
+        }
+      }
+    }
+    val batch = rename(table.changesBetween(fromSid, toSid))
     // name+type comparison: scans surface everything nullable, which is
     // not an evolution
     def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq

@@ -46,7 +46,10 @@ import graft.streaming.Ingest
   *   ([[graft.sources.IceliteChangeFeed]]): stream the table's commits
   *   (published view) into a parquet sink for a downstream consumer;
   *   startingSnapshotId=<id> seeds a later start, trigger=availableNow
-  *   drains and stops, intervalMs/stopAfterMs as for continuous
+  *   drains and stops, intervalMs/stopAfterMs as for continuous. The
+  *   feed query checkpoints under <out>/_feed_checkpoint (override:
+  *   feedCheckpoint=<dir>) — never the ingest stream's checkpoint=
+  *   dir, which holds a different source's offsets
   *   mode=files|snapshots [limit=<n>] — print the metadata tables
   *   ([[graft.plans.IceliteTable.filesDf]]/`snapshotsDf`): per-file
   *   bucket/kind/rows/seq-range, per-snapshot commit metadata
@@ -129,6 +132,15 @@ object IngestMain {
     * fix; on a cluster it builds the real `readStream.format("kafka")`).
     * The option assembly is pure data so specs pin the exact wiring —
     * subscribe, startingOffsets, maxOffsetsPerTrigger — without a broker. */
+  /** Shared trigger parsing for the long-running modes: default =
+    * ProcessingTime(intervalMs, 2000 ms); `trigger=availableNow` = drain
+    * what exists and stop (backfills / smoke runs). */
+  private def triggerOf(kv: Map[String, String]): org.apache.spark.sql.streaming.Trigger =
+    if (kv.get("trigger").contains("availableNow"))
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    else org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+      kv.getOrElse("intervalMs", "2000").toLong)
+
   def kafkaSourceConfig(kv: Map[String, String]): graft.sources.KafkaIo.SourceConfig = {
     def req(k: String) = kv.getOrElse(k,
       throw new IllegalArgumentException(s"mode=kafka needs $k=<value>"))
@@ -225,13 +237,8 @@ object IngestMain {
           // same gate/merge chain as every other source. Default trigger
           // follows `continuous` (a topic tail is long-running); pass
           // trigger=availableNow for a drain-and-stop run
-          val trigger =
-            if (kv.get("trigger").contains("availableNow"))
-              org.apache.spark.sql.streaming.Trigger.AvailableNow()
-            else org.apache.spark.sql.streaming.Trigger.ProcessingTime(
-              kv.getOrElse("intervalMs", "2000").toLong)
           Ingest.runStreamSource(spark, cfg, kafkaSource(spark, kv),
-            trigger, kv.get("stopAfterMs").map(_.toLong))
+            triggerOf(kv), kv.get("stopAfterMs").map(_.toLong))
         case "feed" =>
           // outbound CDC tail (mirror of the ingest modes): the table's
           // own commits stream OUT through the change feed into a parquet
@@ -240,11 +247,6 @@ object IngestMain {
           // drains and stops (backfill / smoke runs)
           val out = kv.getOrElse("out", throw new IllegalArgumentException(
             "mode=feed needs out=<dir> (parquet sink path)"))
-          val trigger =
-            if (kv.get("trigger").contains("availableNow"))
-              org.apache.spark.sql.streaming.Trigger.AvailableNow()
-            else org.apache.spark.sql.streaming.Trigger.ProcessingTime(
-              kv.getOrElse("intervalMs", "2000").toLong)
           val q = spark.readStream
             .format(classOf[graft.sources.IceliteChangeFeed].getName)
             .option("root", cfg.tablePath)
@@ -252,8 +254,12 @@ object IngestMain {
             .load()
             .writeStream.format("parquet")
             .option("path", out)
-            .option("checkpointLocation", cfg.checkpointDir)
-            .trigger(trigger)
+            // the feed is its OWN query: its checkpoint must never share
+            // the ingest stream's (checkpoint=...) — different source,
+            // incompatible offsets. Defaults under the sink dir.
+            .option("checkpointLocation",
+              kv.getOrElse("feedCheckpoint", s"$out/_feed_checkpoint"))
+            .trigger(triggerOf(kv))
             .start()
           kv.get("stopAfterMs").map(_.toLong) match {
             case Some(ms) =>

@@ -728,6 +728,14 @@ class MaintenanceSpec extends SparkSpec {
     val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 2,
       maxFilesPerTrigger = 2, metricsDir = Some(s"$root/metrics"))
     Ingest.runStream(spark, cfg, binlog)
+    // the mirror rides the async listener bus: the final progress event
+    // can land after awaitTermination returns — poll briefly (observed
+    // flaking only under heavy external machine load)
+    def sumRows(): Long = Metrics.rates(spark, s"$root/metrics")
+      .agg(sum($"rows")).head().getLong(0)
+    val deadline = System.currentTimeMillis() + 15000
+    while (sumRows() != 40L && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
     val rates = Metrics.rates(spark, s"$root/metrics")
     assert(rates.count() >= 2) // several micro-batches
     assert(rates.agg(sum($"rows")).head().getLong(0) === 40L)

@@ -107,6 +107,10 @@ class RefsSpec extends SparkSpec {
     val midRows = table.read().orderBy("conv_id", "turn_idx").collect()
 
     table.wapBegin()
+    // re-entry guard: a retry of a crashed orchestration must not re-pin
+    // at the staged tip (that would publish unaudited commits)
+    val eOpen = intercept[IllegalStateException](table.wapBegin())
+    assert(eOpen.getMessage.contains("already open"))
     // stage phase-2 batches (batch ids continue — the gate advances on the TIP)
     batches.drop(2).zipWithIndex.foreach { case (b, i) =>
       Ingest.applyBatch(spark, cfg, b, batchId = 2L + i)
@@ -130,6 +134,14 @@ class RefsSpec extends SparkSpec {
     assert(table.read().orderBy("conv_id", "turn_idx").collect().toSeq
       === tipRows.toSeq)
     assert(table.changesSince(mid).count() > 0)
+    // publish CLOSED the cycle: the pin is gone, so a commit made after
+    // the cycle is immediately visible without another publish (a
+    // forgotten pin would freeze every reader forever)
+    assert(table.refs().isEmpty)
+    Ingest.applyBatch(spark, cfg,
+      batchOf(ev("I", "zz", 0, "post-wap", 900, 9000)), batchId = 10L)
+    assert(table.read().filter($"conv_id" === "zz").count() === 1)
+    intercept[IllegalArgumentException](table.wapPublish()) // no open cycle
   }
 
   test("wapAbort reverts the tip to the published state; re-apply converges") {
@@ -146,7 +158,9 @@ class RefsSpec extends SparkSpec {
       Ingest.applyBatch(spark, cfg, b, batchId = 2L + i)
     }
     table.wapAbort()
-    // tip == published == pre-WAP state; gate reverted with it
+    // abort closed the cycle (pin dropped) and reverted the tip; readers
+    // track the tip again
+    assert(table.refs().isEmpty)
     assert(table.readTip().orderBy("conv_id", "turn_idx").collect().toSeq
       === midRows.toSeq)
     assert(table.read().orderBy("conv_id", "turn_idx").collect().toSeq
@@ -156,7 +170,6 @@ class RefsSpec extends SparkSpec {
     batches.drop(2).zipWithIndex.foreach { case (b, i) =>
       Ingest.applyBatch(spark, cfg, b, batchId = 2L + i)
     }
-    table.wapPublish()
 
     val straightCfg = Ingest.Config(s"$root/t2", s"$root/ck2", "w", buckets = 4)
     Ingest.replay(spark, straightCfg, batches)

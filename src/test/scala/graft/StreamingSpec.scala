@@ -301,6 +301,52 @@ class StreamingSpec extends SparkSpec {
     assert(out().count() === 80)
   }
 
+  test("change feed rollback guard: wapAbort passes, deep rollback fails fast") {
+    import graft.sources.IceliteChangeFeed
+    import spark.implicits._
+    val root = tmpDir("feedrb")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 4,
+      opts = Icelite.Options(compactThreshold = 100))
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    def batch(b: Int) = spark.createDataset((0 until 20).map(i =>
+      graft.model.Model.ChangeEvent("I", s"c$b-${i % 5}", i, "user", s"t$b-$i",
+        null, ts(b * 100 + i), ts(b * 100 + i), b * 1000 + i))).toDF()
+    def drain(): Unit = {
+      val q = spark.readStream.format(classOf[IceliteChangeFeed].getName)
+        .option("root", cfg.tablePath).load()
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/feedck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Ingest.applyBatch(spark, cfg, batch(0), 0)
+    val table = Icelite.load(spark, cfg.tablePath)
+    val afterB0 = table.snapshot().snapshotId
+    Ingest.applyBatch(spark, cfg, batch(1), 1)
+    drain()
+    assert(spark.read.parquet(s"$root/out").count() === 40)
+
+    // a WAP cycle aborted BEFORE publish: the feed (published view) never
+    // saw the staged commits — the abort's rollback target equals the
+    // feed's watermark, so the guard lets the feed continue
+    table.wapBegin()
+    Ingest.applyBatch(spark, cfg, batch(2), 2)
+    table.wapAbort()
+    Ingest.applyBatch(spark, cfg, batch(2), 2) // re-applied after the fix
+    drain()
+    assert(spark.read.parquet(s"$root/out").count() === 60)
+
+    // a rollback BELOW the watermark: the re-applied batches would reuse
+    // seq numbers the feed already covered — fail with the re-seed
+    // instruction instead of silently skipping them
+    table.rollbackTo(afterB0)
+    Ingest.applyBatch(spark, cfg, batch(1), 1) // gate reverted; re-applies
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    assert(e.getMessage.contains("rolled back"), e.getMessage)
+  }
+
   test("change feed drives incremental near-dup dedup (CDC corpus, no re-scan)") {
     import graft.operators.IncrementalDedup
     import graft.sources.IceliteChangeFeed
