@@ -178,6 +178,25 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // engine-side DML (Delta/Iceberg DELETE ... WHERE analogue): replay,
+    // then tombstone every live tool-role row in one exactly-once merge;
+    // late events below the delete's seq cannot resurrect the rows
+    "cdc_delete_where" -> ((s, dir) => {
+      val (table, _) = replayHalves(s, dir)
+      table.deleteWhere(col("role") === "tool", batchId = 100000L,
+        writerId = "verify")
+      table.read().orderBy("conv_id", "turn_idx")
+    }),
+
+    // engine-side UPDATE ... SET ... WHERE: rewrite matching live rows as
+    // upserts at the table's next sequence number
+    "cdc_update_where" -> ((s, dir) => {
+      val (table, _) = replayHalves(s, dir)
+      table.updateWhere(col("role") === "assistant",
+        Map("tool" -> lit("redacted")), batchId = 100000L, writerId = "verify")
+      table.read().orderBy("conv_id", "turn_idx")
+    }),
+
     // outbound change-data feed (Delta CDF / Iceberg incremental-read
     // analogue): tail the replayed table's commits as a Structured
     // Streaming source (snapshot-id offsets) into a parquet sink; the
@@ -1130,6 +1149,31 @@ object SparkEntry {
         (op = 'D') AS deleted
       FROM ch WHERE seq >= (SELECT cutoff FROM b)
       ORDER BY seq""",
+
+    // DELETE WHERE role='tool' over the replayed final state
+    "cdc_delete_where" -> s"""
+      WITH ch AS (${Changelog.duckChangelogSql}),
+      ranked AS (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY event_ts DESC, seq DESC) AS rn
+        FROM ch)
+      SELECT conv_id, turn_idx, role, text, tool, ts
+      FROM ranked WHERE rn = 1 AND op <> 'D' AND role <> 'tool'
+      ORDER BY conv_id, turn_idx""",
+
+    // UPDATE SET tool='redacted' WHERE role='assistant' over the final state
+    "cdc_update_where" -> s"""
+      WITH ch AS (${Changelog.duckChangelogSql}),
+      ranked AS (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY conv_id, turn_idx
+          ORDER BY event_ts DESC, seq DESC) AS rn
+        FROM ch)
+      SELECT conv_id, turn_idx, role, text,
+        CASE WHEN role = 'assistant' THEN 'redacted' ELSE tool END AS tool, ts
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY conv_id, turn_idx""",
 
     // the drained feed = the full changelog, every version, in seq order
     "cdc_change_feed" -> s"""

@@ -809,6 +809,56 @@ class IceliteTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  // ---------------------------------------------------------------- dml
+
+  /** Engine-side `DELETE FROM t WHERE cond` (the Delta/Iceberg DML
+    * analogue, which the reference lacks entirely): one exactly-once
+    * merge batch of tombstones for every live row matching `cond`. The
+    * tombstones carry the table's next sequence number and commit-time
+    * event ts, so they win LWW over every existing version, cannot be
+    * resurrected by late events below that seq, and flow to incremental
+    * consumers ([[changesSince]], the change feed) like any other
+    * delete. Cost: one table scan for victims + a merge touching only
+    * their buckets; retention physically removes the data at the next
+    * compact-with-drop-tombstones + expire (the GDPR path). */
+  def deleteWhere(cond: org.apache.spark.sql.Column, batchId: Long,
+      writerId: String, opts: Options = Options()): MergeStats = {
+    val snap = snapshot()
+    val maxSeq = snap.files.map(_.maxSeq).foldLeft(0L)(math.max)
+    val batch = readLive(snap).filter(cond)
+      .select(Model.keyCols.map(col): _*)
+      .withColumn("op", lit("D"))
+      .withColumn("event_ts",
+        lit(new java.sql.Timestamp(System.currentTimeMillis())))
+      .withColumn("seq", lit(maxSeq + 1))
+    merge(batch, batchId, writerId, opts)
+  }
+
+  /** Engine-side `UPDATE t SET ... WHERE cond`: rewrites matching live
+    * rows as one merge batch of upserts carrying the updated payload at
+    * the table's next sequence number. `set` assigns payload columns
+    * only — keys are immutable (move = delete + insert by contract). */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column], batchId: Long,
+      writerId: String, opts: Options = Options()): MergeStats = {
+    val snap = snapshot()
+    val payload = payloadPart(schemaFor(snap, snap.currentSchemaId))
+    set.keys.foreach { k =>
+      require(payload.fieldNames.contains(k), s"unknown payload column: $k")
+      require(!Model.keyCols.contains(k),
+        s"key column $k is immutable; delete + insert to move a row")
+    }
+    val maxSeq = snap.files.map(_.maxSeq).foldLeft(0L)(math.max)
+    val batch = set.foldLeft(readLive(snap).filter(cond)) {
+        case (df, (k, v)) => df.withColumn(k, v)
+      }
+      .withColumn("op", lit("U"))
+      .withColumn("event_ts",
+        lit(new java.sql.Timestamp(System.currentTimeMillis())))
+      .withColumn("seq", lit(maxSeq + 1))
+    merge(batch, batchId, writerId, opts)
+  }
+
   // ---------------------------------------------------------------- maintenance
 
   /** Roll the table back to snapshot `targetId` (the Iceberg

@@ -144,6 +144,44 @@ class RefsSpec extends SparkSpec {
     intercept[IllegalArgumentException](table.wapPublish()) // no open cycle
   }
 
+  test("deleteWhere / updateWhere: DML as exactly-once merges, no resurrection") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmpDir("dml")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 4)
+    Ingest.replay(spark, cfg, mkBatches(3))
+    val table = Icelite.load(spark, cfg.tablePath)
+    val before = table.read().count()
+
+    // delete the multiples of 4: keys (c4,4) (c3,8) (c2,12) (c1,16) (c0,0)
+    // — 5 of the fixture's 20 distinct (conv, turn) keys
+    val stats = table.deleteWhere(col("turn_idx") % 4 === 0,
+      batchId = 100L, writerId = "w")
+    assert(!stats.skipped)
+    val after = table.read()
+    assert(after.filter(col("turn_idx") % 4 === 0).count() === 0)
+    assert(after.count() === before - 5)
+
+    // replaying the same DML batch id is idempotent (the gate)
+    assert(table.deleteWhere(col("turn_idx") % 4 === 0, 100L, "w").skipped)
+
+    // a LATE event for a deleted key (seq below the tombstone) cannot
+    // resurrect the row
+    Ingest.applyBatch(spark, cfg,
+      batchOf(ev("U", "c4", 4, "late-ghost", 50, 1500)), batchId = 101L)
+    assert(table.read()
+      .filter(col("conv_id") === "c4" && col("turn_idx") === 4).count() === 0)
+
+    // update rewrites matching live rows in place
+    table.updateWhere(col("turn_idx") === 1, Map("text" -> lit("patched")),
+      batchId = 102L, writerId = "w")
+    val texts = table.read().filter(col("turn_idx") === 1)
+      .select("text").collect().map(_.getString(0)).distinct
+    assert(texts.toSeq === Seq("patched"))
+    // key columns are immutable
+    intercept[IllegalArgumentException](table.updateWhere(lit(true),
+      Map("conv_id" -> lit("x")), 103L, "w"))
+  }
+
   test("wapAbort reverts the tip to the published state; re-apply converges") {
     val root = tmpDir("refs-abort")
     val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 4,
