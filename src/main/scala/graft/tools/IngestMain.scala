@@ -50,6 +50,11 @@ import graft.streaming.Ingest
   *   feed query checkpoints under <out>/_feed_checkpoint (override:
   *   feedCheckpoint=<dir>) — never the ingest stream's checkpoint=
   *   dir, which holds a different source's offsets
+  *   mode=delete|update — engine-side DML (no binlog):
+  *   predicate=<sql boolean expr> selects live rows;
+  *   update adds set="col=expr[,col=expr...]";
+  *   dmlBatchId=<n> is the idempotence key (reruns with the same id are
+  *   no-ops under the (writerId, batchId) gate)
   *   mode=files|snapshots [limit=<n>] — print the metadata tables
   *   ([[graft.plans.IceliteTable.filesDf]]/`snapshotsDf`): per-file
   *   bucket/kind/rows/seq-range, per-snapshot commit metadata
@@ -122,7 +127,7 @@ object IngestMain {
   }
 
   private val MaintenanceModes = Set("compact", "rebucket", "expire",
-    "lineage-rollup", "rollback", "files", "snapshots")
+    "lineage-rollup", "rollback", "files", "snapshots", "delete", "update")
   /** modes that read no binlog dir (maintenance + non-binlog sources) */
   private val NoBinlogModes = MaintenanceModes ++ Set("shards", "kafka", "feed")
 
@@ -209,6 +214,35 @@ object IngestMain {
               "mode=rollback needs toSnapshot=<id> or asOfMs=<epochMs>"))
           val head = table.rollbackTo(target)
           println(s"[ingest] rolled back to snapshot $target (new head $head)")
+        case "delete" | "update" =>
+          // engine-side DML over a live table (no binlog): predicate is a
+          // SQL boolean expression over payload columns; update also takes
+          // set="col=expr[,col=expr...]" (split on top-level commas only —
+          // expressions containing commas need one assignment per set=)
+          val pred = org.apache.spark.sql.functions.expr(kv.getOrElse("predicate",
+            throw new IllegalArgumentException(
+              s"mode=$mode needs predicate=<sql boolean expr>")))
+          val batchId = kv.getOrElse("dmlBatchId",
+            throw new IllegalArgumentException(
+              s"mode=$mode needs dmlBatchId=<n> (the idempotence key: reruns " +
+                "with the same id are no-ops; use a fresh id per intended DML)"))
+            .toLong
+          val table = Icelite.load(spark, cfg.tablePath)
+          val stats =
+            if (mode == "delete") table.deleteWhere(pred, batchId, cfg.writerId)
+            else {
+              val sets = kv.getOrElse("set", throw new IllegalArgumentException(
+                  "mode=update needs set=<col=expr[,col=expr...]>"))
+                .split(",").map(_.trim).filter(_.nonEmpty).map { a =>
+                  val i = a.indexOf('=')
+                  require(i > 0, s"set expects col=expr, got '$a'")
+                  a.substring(0, i).trim ->
+                    org.apache.spark.sql.functions.expr(a.substring(i + 1).trim)
+                }.toMap
+              table.updateWhere(pred, sets, batchId, cfg.writerId)
+            }
+          println(s"[ingest] $mode: snapshot=${stats.snapshotId} " +
+            s"rows=${stats.inputRows} skipped=${stats.skipped}")
         case "files" => // metadata inspection (Iceberg table$files analogue)
           Icelite.load(spark, cfg.tablePath).filesDf()
             .orderBy("bucket", "path").show(kv.getOrElse("limit", "50").toInt, false)
