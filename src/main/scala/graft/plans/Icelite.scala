@@ -364,7 +364,7 @@ object Icelite {
 
   /** Project/cast `df` onto `target` — missing columns become nulls,
     * present ones are cast (upcast only, by construction). */
-  private[plans] def align(df: DataFrame, target: StructType): DataFrame = {
+  private[graft] def align(df: DataFrame, target: StructType): DataFrame = {
     val cols = target.fields.map { f =>
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)

@@ -38,9 +38,10 @@ import graft.plans.Icelite
   * Contracts: net-effect at-least-once — a compaction inside a batch
   * range collapses superseded intermediate versions into their surviving
   * winners (every key's final state always flows). Schema is pinned at
-  * stream start; a mid-stream schema evolution fails the query with a
-  * restart instruction (the [[graft.streaming.SchemaSentinel]] pattern —
-  * the restarted query picks up the widened schema). A `from` snapshot
+  * query start; an evolution UNDER a running query fails it with a
+  * restart instruction (the [[graft.streaming.SchemaSentinel]] pattern),
+  * and the restarted query pins the widened schema, aligns replayed
+  * pre-evolution ranges up to it, and resumes from its checkpoint. A `from` snapshot
   * already retired by `expireSnapshots` fails the query: re-seed with
   * `startingSnapshotId` or widen retention. A ROLLBACK below the feed's
   * seq watermark also fails the query with a re-seed instruction (the
@@ -138,16 +139,27 @@ private class ChangeFeedSource(sql: SQLContext, root: String, startSid: Long)
         }
       }
     }
-    val batch = rename(table.changesBetween(fromSid, toSid))
-    // name+type comparison: scans surface everything nullable, which is
-    // not an evolution
-    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
-    if (shape(batch.schema) != shape(schema))
-      throw new IllegalStateException(
-        s"icelite-feed: table schema evolved mid-stream at $root " +
-          s"(stream pinned ${schema.simpleString}, batch has " +
-          s"${batch.schema.simpleString}); restart the query to adopt it")
-    StreamingBridge.asStreamingBatch(batch)
+    val raw = rename(table.changesBetween(fromSid, toSid))
+    // schema guard, direction-aware: a batch NARROWER than the pin is a
+    // pre-evolution range (the engine replays the last committed batch
+    // through getBatch on every restart — recovery, not evolution) and
+    // aligns up (missing columns null, types upcast). A batch the pin
+    // cannot express — a new column, a widened type — means the table
+    // evolved UNDER a running query: fail with the restart instruction
+    // (a restarted query pins the evolved schema and adopts it).
+    val pinned = schema.fields.map(f => f.name -> f.dataType).toMap
+    raw.schema.fields.foreach { f =>
+      pinned.get(f.name) match {
+        case Some(t) if f.dataType == t || Icelite.canWiden(f.dataType, t) => ()
+        case what =>
+          throw new IllegalStateException(
+            s"icelite-feed: table schema evolved under the running query " +
+              s"at $root (column ${f.name}: ${f.dataType.simpleString} vs " +
+              s"pinned ${what.map(_.simpleString).getOrElse("<absent>")}); " +
+              "restart the query to adopt it")
+      }
+    }
+    StreamingBridge.asStreamingBatch(Icelite.align(raw, schema))
   }
 
   override def stop(): Unit = ()

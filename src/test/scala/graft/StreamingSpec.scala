@@ -301,6 +301,78 @@ class StreamingSpec extends SparkSpec {
     assert(out().count() === 80)
   }
 
+  test("change feed schema evolution: mid-stream widen fails with restart; restart adopts") {
+    import graft.sources.IceliteChangeFeed
+    import spark.implicits._
+    val root = tmpDir("feedevo")
+    val cfg = Ingest.Config(s"$root/t", s"$root/ck", "w", buckets = 4,
+      opts = Icelite.Options(compactThreshold = 100))
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    def batch(b: Int) = spark.createDataset((0 until 10).map(i =>
+      graft.model.Model.ChangeEvent("I", s"c$b", i, "user", s"t$b-$i", null,
+        ts(b * 100 + i), ts(b * 100 + i), b * 1000 + i))).toDF()
+    def drain(): Unit = {
+      val q = spark.readStream.format(classOf[IceliteChangeFeed].getName)
+        .option("root", cfg.tablePath).load()
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/feedck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Ingest.applyBatch(spark, cfg, batch(0), 0)
+    drain()
+    assert(spark.read.parquet(s"$root/out").count() === 10)
+
+    // evolve the table (add-column through the merge — the path
+    // cdc_schema_evolution exercises), then RESTART the drain on the same
+    // checkpoint: the new query pins the evolved schema, aligns the
+    // engine's recovery replay of the committed pre-evolution batch up to
+    // it, and emits only the new range — with the new column populated
+    Ingest.applyBatch(spark, cfg,
+      batch(1).withColumn("extra", lit("x")), 1)
+    val out2 = s"$root/out2" // fresh sink (parquet sink schemas are fixed)
+    val q2 = spark.readStream.format(classOf[IceliteChangeFeed].getName)
+      .option("root", cfg.tablePath).load()
+      .writeStream.format("parquet")
+      .option("path", out2)
+      .option("checkpointLocation", s"$root/feedck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    // read the leaf files directly: the reused checkpoint numbers the new
+    // sink's metadata log from the resumed batch id, so the sink-root
+    // metadata index (which insists on batch 0) cannot be used here
+    val gotFiles = new java.io.File(out2).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    val got = spark.read.parquet(gotFiles.toSeq: _*)
+    assert(got.count() === 10) // resumed: batch 1 only, not a re-drain
+    assert(got.columns.contains("extra"))
+    assert(got.filter(col("extra") === "x").count() === 10)
+
+    // evolution UNDER a running query: a long-running tail pinned the
+    // pre-evolution schema; the next trigger's batch carries a column the
+    // pin cannot express and the query fails with the restart instruction
+    // rather than emitting mis-shaped rows
+    val q3 = spark.readStream.format(classOf[IceliteChangeFeed].getName)
+      .option("root", cfg.tablePath).load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$root/ck3")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+    try {
+      q3.processAllAvailable() // one healthy pass under the current schema
+      Ingest.applyBatch(spark, cfg,
+        batch(2).withColumn("extra2", lit(7)), 2)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+        q3.awaitTermination(10000)
+      }
+      assert(e.getMessage.contains("restart the query"), e.getMessage)
+    } finally if (q3.isActive) q3.stop()
+  }
+
   test("change feed rollback guard: wapAbort passes, deep rollback fails fast") {
     import graft.sources.IceliteChangeFeed
     import spark.implicits._
